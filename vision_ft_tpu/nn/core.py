@@ -1,0 +1,284 @@
+"""Functional NN core.
+
+Models are *static* configuration objects ("modules") paired with *pure*
+parameter pytrees. A module never stores arrays; it only knows shapes and
+how to apply parameters. Parameter trees are nested ``dict``s whose
+flattened dotted keys exactly match the PyTorch state-dict layout of the
+reference framework (p1atdev/vision-ft), so safetensors checkpoints map to
+param trees with nothing but a flatten/unflatten and the same key
+converters the reference uses.
+
+Conventions (chosen for torch-checkpoint interop; cf. reference layouts in
+/root/reference/src/models/sdxl/denoiser.py):
+  - Linear weight:  [out_features, in_features]  (+ optional bias [out])
+  - Conv2d weight:  [out_ch, in_ch, kh, kw] (OIHW), activations are NHWC
+    (TPU-native: channels ride the 128-lane dimension). XLA's
+    dimension_numbers handle the layout; no transposes are materialized.
+  - Norm scales/offsets: "weight"/"bias" names, fp32 compute islands.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Param-tree utilities
+
+
+def flatten_params(tree: Params, prefix: str = "", sep: str = ".") -> dict[str, jax.Array]:
+    """Flatten a nested param dict to dotted state-dict keys."""
+    flat: dict[str, jax.Array] = {}
+    for name, value in tree.items():
+        key = f"{prefix}{sep}{name}" if prefix else name
+        if isinstance(value, dict):
+            flat.update(flatten_params(value, key, sep))
+        else:
+            flat[key] = value
+    return flat
+
+
+def unflatten_params(flat: dict[str, jax.Array], sep: str = ".") -> Params:
+    """Inverse of :func:`flatten_params`."""
+    tree: Params = {}
+    for key, value in flat.items():
+        parts = key.split(sep)
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def split_keys(key: jax.Array, names: Iterable[str]) -> dict[str, jax.Array]:
+    names = list(names)
+    keys = jax.random.split(key, len(names))
+    return dict(zip(names, keys))
+
+
+def param_dtype(params: Params) -> jnp.dtype:
+    leaves = jax.tree.leaves(params)
+    return leaves[0].dtype if leaves else jnp.float32
+
+
+def tree_size(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Module base
+
+
+class Module:
+    """Static-config module: holds no arrays, provides init() and __call__().
+
+    Subclasses implement ``init(key, dtype) -> Params`` and
+    ``__call__(params, *args) -> Array``. Composite modules recurse.
+    """
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        raise NotImplementedError
+
+    def __call__(self, params: Params, *args, **kwargs):
+        raise NotImplementedError
+
+
+class Identity(Module):
+    def init(self, key, dtype=jnp.float32) -> Params:
+        return {}
+
+    def __call__(self, params, x):
+        return x
+
+
+class Linear(Module):
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        # torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(in), 1/sqrt(in))
+        bound = 1.0 / math.sqrt(self.in_features)
+        wkey, bkey = jax.random.split(key)
+        params: Params = {
+            "weight": jax.random.uniform(
+                wkey, (self.out_features, self.in_features), dtype, -bound, bound
+            )
+        }
+        if self.use_bias:
+            params["bias"] = jax.random.uniform(bkey, (self.out_features,), dtype, -bound, bound)
+        return params
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        w = params["weight"]
+        y = lax.dot_general(
+            x,
+            w,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=x.dtype,
+        )
+        if "bias" in params:
+            y = y + params["bias"].astype(y.dtype)
+        return y
+
+
+class Conv2d(Module):
+    """2-D convolution over NHWC activations with OIHW-stored kernels."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int = 3,
+        stride: int = 1,
+        padding: int = 0,
+        bias: bool = True,
+    ):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.use_bias = bias
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        fan_in = self.in_channels * self.kernel_size * self.kernel_size
+        bound = 1.0 / math.sqrt(fan_in)
+        wkey, bkey = jax.random.split(key)
+        params: Params = {
+            "weight": jax.random.uniform(
+                wkey,
+                (self.out_channels, self.in_channels, self.kernel_size, self.kernel_size),
+                dtype,
+                -bound,
+                bound,
+            )
+        }
+        if self.use_bias:
+            params["bias"] = jax.random.uniform(bkey, (self.out_channels,), dtype, -bound, bound)
+        return params
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        w = params["weight"].astype(x.dtype)
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        if "bias" in params:
+            y = y + params["bias"].astype(y.dtype)
+        return y
+
+
+class LayerNorm(Module):
+    """LayerNorm with fp32 compute island (matches reference FP32LayerNorm,
+    /root/reference/src/modules/norm.py:9 and plain nn.LayerNorm)."""
+
+    def __init__(self, dim: int, eps: float = 1e-5, elementwise_affine: bool = True, bias: bool = True):
+        self.dim = dim
+        self.eps = eps
+        self.elementwise_affine = elementwise_affine
+        self.use_bias = bias and elementwise_affine
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        if not self.elementwise_affine:
+            return {}
+        params: Params = {"weight": jnp.ones((self.dim,), dtype)}
+        if self.use_bias:
+            params["bias"] = jnp.zeros((self.dim,), dtype)
+        return params
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        h = x.astype(jnp.float32)
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
+        h = (h - mean) * lax.rsqrt(var + self.eps)
+        if "weight" in params:
+            h = h * params["weight"].astype(jnp.float32)
+        if "bias" in params:
+            h = h + params["bias"].astype(jnp.float32)
+        return h.astype(orig_dtype)
+
+
+class RMSNorm(Module):
+    """RMSNorm with fp32 compute (reference FP32RMSNorm, src/modules/norm.py:20)."""
+
+    def __init__(self, dim: int, eps: float = 1e-6, elementwise_affine: bool = True):
+        self.dim = dim
+        self.eps = eps
+        self.elementwise_affine = elementwise_affine
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        if not self.elementwise_affine:
+            return {}
+        return {"weight": jnp.ones((self.dim,), dtype)}
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        h = x.astype(jnp.float32)
+        h = h * lax.rsqrt(jnp.mean(jnp.square(h), axis=-1, keepdims=True) + self.eps)
+        if "weight" in params:
+            h = h * params["weight"].astype(jnp.float32)
+        return h.astype(orig_dtype)
+
+
+class GroupNorm(Module):
+    """GroupNorm over NHWC activations, fp32 compute."""
+
+    def __init__(self, num_groups: int, num_channels: int, eps: float = 1e-5, affine: bool = True):
+        assert num_channels % num_groups == 0
+        self.num_groups = num_groups
+        self.num_channels = num_channels
+        self.eps = eps
+        self.affine = affine
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        if not self.affine:
+            return {}
+        return {
+            "weight": jnp.ones((self.num_channels,), dtype),
+            "bias": jnp.zeros((self.num_channels,), dtype),
+        }
+
+    def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        # x: (..., H, W, C) — stats over all spatial dims and the channels
+        # within a group.
+        orig_dtype = x.dtype
+        *lead, c = x.shape
+        g = self.num_groups
+        h = x.astype(jnp.float32).reshape(x.shape[0], -1, g, c // g)
+        mean = jnp.mean(h, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
+        h = (h - mean) * lax.rsqrt(var + self.eps)
+        h = h.reshape(x.shape)
+        if "weight" in params:
+            h = h * params["weight"].astype(jnp.float32)
+            h = h + params["bias"].astype(jnp.float32)
+        return h.astype(orig_dtype)
+
+
+class Embedding(Module):
+    def __init__(self, num_embeddings: int, embedding_dim: int):
+        self.num_embeddings = num_embeddings
+        self.embedding_dim = embedding_dim
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        return {
+            "weight": jax.random.normal(key, (self.num_embeddings, self.embedding_dim), dtype)
+        }
+
+    def __call__(self, params: Params, ids: jax.Array) -> jax.Array:
+        return jnp.take(params["weight"], ids, axis=0)

@@ -1,0 +1,86 @@
+"""Attention dispatch.
+
+The single entry point every denoiser/text-encoder in the framework calls,
+mirroring the reference's backend enum
+(/root/reference/src/modules/attention.py:23-170) but with TPU-native
+backends: "xla" (lax einsum+softmax, fused by XLA) and "flash" (Pallas
+blockwise flash-attention kernel). The reference's CUDA backend names are
+accepted as aliases so configs port unchanged.
+
+Layout: q, k, v are (batch, num_heads, seq, head_dim) like the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+AttentionImplementation = Literal[
+    # TPU-native names
+    "xla",
+    "flash",
+    # reference aliases (src/modules/attention.py:23-28)
+    "eager",
+    "sdpa",
+    "flash_attention_2",
+    "xformers",
+]
+
+_FLASH_BACKENDS = {"flash", "flash_attention_2", "xformers"}
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: float,
+    is_causal: bool,
+) -> jax.Array:
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    ) * scale
+    if is_causal:
+        q_len, k_len = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, -jnp.inf)
+        else:
+            logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=lax.Precision.HIGHEST)
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    dropout: float = 0.0,
+    backend: AttentionImplementation = "xla",
+    is_causal: bool = False,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, H, S, D) tensors.
+
+    ``mask``: boolean (True = attend) or additive float, broadcastable to
+    (B, H, Sq, Sk). Dropout is accepted for API parity but ignored (the
+    reference only ever uses dropout=0.0 in attention).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if backend in _FLASH_BACKENDS:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask, scale=scale, is_causal=is_causal)
+    return _xla_attention(q, k, v, mask, scale, is_causal)

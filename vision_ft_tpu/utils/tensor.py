@@ -1,0 +1,63 @@
+"""Tensor/image conversion helpers (jax-native).
+
+Mirrors the reference's src/utils/tensor.py behavior with explicit PRNG
+keys. ``incremental_seed_randn`` reproduces the per-sample-seed semantics
+(sample i uses seed+i) so batched previews are order-independent; exact
+torch RNG bit-parity is not possible across frameworks, so parity tests
+inject fixed noise instead (SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+
+def incremental_seed_randn(
+    shape: tuple[int, ...],
+    seed: int | None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Standard-normal noise where batch element i is drawn from seed+i.
+
+    (Reference: src/utils/tensor.py:11-36.)
+    """
+    if len(shape) == 0:
+        raise ValueError("Shape must have at least one dimension")
+    batch_size = shape[0]
+    if seed is None:
+        seed = int(np.random.randint(0, 2**31 - 1))
+    samples = [
+        jax.random.normal(jax.random.PRNGKey(seed + i), shape[1:], dtype=jnp.float32)
+        for i in range(batch_size)
+    ]
+    return jnp.stack(samples).astype(dtype)
+
+
+def image_to_tensor(image: Image.Image, dtype=jnp.float32) -> jax.Array:
+    """PIL image -> NHWC float in [-1, 1]."""
+    arr = np.asarray(image.convert("RGB"), dtype=np.float32) / 127.5 - 1.0
+    return jnp.asarray(arr, dtype=dtype)
+
+
+def images_to_tensor(images: list[Image.Image], dtype=jnp.float32) -> jax.Array:
+    return jnp.stack([image_to_tensor(im, dtype) for im in images])
+
+
+def tensor_to_images(tensor: jax.Array) -> list[Image.Image]:
+    """NHWC float in [-1, 1] -> PIL images."""
+    arr = np.asarray(jnp.clip(tensor, -1.0, 1.0).astype(jnp.float32))
+    arr = ((arr + 1.0) / 2.0 * 255.0).astype(np.uint8)
+    return [Image.fromarray(im) for im in arr]
+
+
+def videos_to_tensor(videos: list[list[Image.Image]], dtype=jnp.float32) -> jax.Array:
+    """list of frame lists -> (B, F, H, W, C) float in [-1, 1]."""
+    return jnp.stack([images_to_tensor(frames, dtype) for frames in videos])
+
+
+def tensor_to_videos(tensor: jax.Array) -> list[list[Image.Image]]:
+    """(B, F, H, W, C) float in [-1, 1] -> per-sample frame lists."""
+    return [tensor_to_images(video) for video in tensor]
