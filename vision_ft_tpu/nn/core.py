@@ -270,6 +270,31 @@ class GroupNorm(Module):
         return h.astype(orig_dtype)
 
 
+class ModuleDict(Module):
+    """Composite module: children keyed by name (or stringified index).
+
+    Param tree = {name: child_params}, with empty children (e.g. Identity)
+    omitted so flattened keys exactly match a torch state dict (torch
+    registers no entries for parameterless modules).
+    """
+
+    def __init__(self, children: dict[str, "Module"]):
+        self.children = dict(children)
+
+    def __getitem__(self, name) -> "Module":
+        return self.children[str(name)]
+
+    def init(self, key, dtype=jnp.float32) -> Params:
+        names = list(self.children)
+        keys = jax.random.split(key, max(len(names), 1))
+        out: Params = {}
+        for name, k in zip(names, keys):
+            p = self.children[name].init(k, dtype)
+            if p:
+                out[name] = p
+        return out
+
+
 class Embedding(Module):
     def __init__(self, num_embeddings: int, embedding_dim: int):
         self.num_embeddings = num_embeddings
