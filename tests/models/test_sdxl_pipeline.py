@@ -1,0 +1,147 @@
+"""SDXL pipeline end-to-end (tiny config, CPU): generate + checkpoint
+round-trip through the original sgm key layout."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "/root/repo/tests")
+
+from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
+from vision_ft_tpu.models.sdxl.config import DenoiserConfig, SDXLConfig
+from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
+from vision_ft_tpu.models.text_encoders import CLIPTextConfig
+from vision_ft_tpu.utils import safetensors as st
+
+
+class MockTokenizer:
+    bos_token_id = 0
+    eos_token_id = 999
+    pad_token_id = 999
+
+    def __call__(self, prompts, max_length=None, **kw):
+        rows = []
+        for p in prompts:
+            ids = [3 + (hash(w) % 900) for w in p.split()][: max_length - 2]
+            row = [0, *ids, 999]
+            row += [999] * (max_length - len(row))
+            rows.append(row)
+        return np.asarray(rows, dtype=np.int32)
+
+
+def tiny_model(tmp_checkpoint="unused.safetensors"):
+    config = SDXLConfig(
+        checkpoint_path=str(tmp_checkpoint),
+        dtype="float32",
+        denoiser=DenoiserConfig(
+            hidden_dim=32,
+            num_head_channels=8,
+            context_dim=64 + 48,  # te1 + te2 hidden sizes
+            block_out_channels=[32, 64, 64],
+            num_transformers_per_block=[1, 1, 1],
+        ),
+    )
+    return SDXLModel(
+        config,
+        tokenizer=MockTokenizer(),
+        vae_config=AutoencoderKLConfig(
+            block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4
+        ),
+        text_encoder_config_1=CLIPTextConfig(
+            vocab_size=1000,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            hidden_act="quick_gelu",
+        ),
+        text_encoder_config_2=CLIPTextConfig(
+            vocab_size=1000,
+            hidden_size=48,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            hidden_act="gelu",
+            projection_dim=1280,
+        ),
+    )
+
+
+def test_generate_end_to_end(tmp_path):
+    model = tiny_model()
+    model.init_params(jax.random.key(0))
+    images = model.generate(
+        "a photo of a cat",
+        negative_prompt="blurry",
+        width=64,
+        height=64,
+        num_inference_steps=3,
+        cfg_scale=3.0,
+        seed=42,
+    )
+    assert len(images) == 1
+    assert isinstance(images[0], Image.Image)
+    assert images[0].size == (64, 64)
+
+    # seeded determinism
+    again = model.generate(
+        "a photo of a cat",
+        negative_prompt="blurry",
+        width=64,
+        height=64,
+        num_inference_steps=3,
+        cfg_scale=3.0,
+        seed=42,
+    )
+    np.testing.assert_array_equal(np.asarray(images[0]), np.asarray(again[0]))
+
+
+def test_checkpoint_round_trip(tmp_path):
+    model = tiny_model()
+    model.init_params(jax.random.key(7))
+    original = model.state_dict()
+
+    # original keys only (sgm layout)
+    assert any(k.startswith("model.diffusion_model.") for k in original)
+    assert any(k.startswith("first_stage_model.") for k in original)
+    assert any(k.startswith("conditioner.embedders.0.transformer.") for k in original)
+    assert any(k.startswith("conditioner.embedders.1.model.") for k in original)
+    # fused OpenCLIP qkv + plain text_projection on disk
+    assert any("attn.in_proj_weight" in k for k in original)
+    assert "conditioner.embedders.1.model.text_projection" in original
+    # VAE attention weights are 4D on disk
+    vae_q = [k for k in original if k.endswith("attn_1.q.weight")]
+    assert vae_q and original[vae_q[0]].ndim == 4
+
+    path = tmp_path / "ckpt.safetensors"
+    st.save_file(original, path)
+
+    model2 = tiny_model(path)
+    model2.config.checkpoint_path = str(path)
+    model2._from_checkpoint()
+
+    from vision_ft_tpu.nn import flatten_params
+
+    flat1 = {
+        f"{scope}.{k}": v
+        for scope in ("denoiser", "vae", "text_encoder")
+        for k, v in flatten_params(model.params[scope]).items()
+    }
+    flat2 = {
+        f"{scope}.{k}": v
+        for scope in ("denoiser", "vae", "text_encoder")
+        for k, v in flatten_params(model2.params[scope]).items()
+    }
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_array_equal(np.asarray(flat1[k]), np.asarray(flat2[k]), err_msg=k)
+
+    # identical generations after the round-trip
+    kwargs = dict(width=64, height=64, num_inference_steps=2, cfg_scale=1.0, seed=3)
+    img1 = model.generate("hello world", **kwargs)[0]
+    img2 = model2.generate("hello world", **kwargs)[0]
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))

@@ -1,0 +1,339 @@
+"""SDXL pipeline: single-file checkpoint I/O + generate().
+
+Behavioral spec: /root/reference/src/models/sdxl/pipeline.py. TPU-native
+deltas:
+- params are an explicit pytree (``model.params``), loaded straight from
+  safetensors bytes into arrays of the execution dtype — the jax analogue
+  of the reference's meta-device + assign load (pipeline.py:49-115).
+- the denoiser step is jitted once per (batch, H, W) shape; the CFG
+  double-batch, input scaling, CFG combine and Euler-ancestral update all
+  live *inside* the compiled step so XLA fuses the whole loop body.
+- latents are NHWC.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ...utils import safetensors as st
+from ...utils import tensor as tensor_utils
+from ...utils.state_dict import (
+    convert_open_clip_to_transformers,
+    convert_transformers_to_open_clip,
+)
+from ..autoencoder import AutoencoderKL
+from ..autoencoder.kl import SDXL_VAE_CONFIG
+from .config import SDXLConfig
+from .denoiser import Denoiser
+from .scheduler import Scheduler
+from .text_encoder import TextEncoder
+from .util import convert_from_original_key, convert_to_original_key
+
+_VAE_ATTN_WEIGHT = re.compile(r"vae\..*\.to_(q|k|v|out)\.(\d+\.)?weight$")
+
+
+def _str_to_dtype(name: str):
+    return {
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float16": jnp.float16,
+        "fp16": jnp.float16,
+        "float32": jnp.float32,
+        "fp32": jnp.float32,
+    }[name]
+
+
+class SDXLModel:
+    denoiser_class: type[Denoiser] = Denoiser
+
+    def __init__(
+        self,
+        config: SDXLConfig,
+        tokenizer=None,
+        vae_config=None,
+        text_encoder_config_1=None,
+        text_encoder_config_2=None,
+    ):
+        self.config = config
+        self.dtype = _str_to_dtype(config.dtype)
+        backend = config.denoiser.attention_backend
+        self.denoiser = self.denoiser_class(config.denoiser)
+        self.vae = AutoencoderKL(vae_config or SDXL_VAE_CONFIG)
+        self.text_encoder = TextEncoder(
+            backend=backend,
+            tokenizer=tokenizer,
+            config_1=text_encoder_config_1,
+            config_2=text_encoder_config_2,
+        )
+        self.scheduler = Scheduler()
+        self.params: dict = {}
+        self._jit_steps: dict = {}
+
+    # -- checkpoint I/O ------------------------------------------------------
+
+    def load_state_dict(self, flat: dict[str, jax.Array]) -> None:
+        """Load a flat *internal-key* state dict into self.params."""
+        from ...nn import unflatten_params
+
+        self.params = {
+            "denoiser": unflatten_params(
+                {k[len("denoiser."):]: v for k, v in flat.items() if k.startswith("denoiser.")}
+            ),
+            "vae": unflatten_params(
+                {k[len("vae."):]: v for k, v in flat.items() if k.startswith("vae.")}
+            ),
+            "text_encoder": unflatten_params(
+                {
+                    k[len("text_encoder."):]: v
+                    for k, v in flat.items()
+                    if k.startswith("text_encoder.")
+                }
+            ),
+        }
+
+    def _from_checkpoint(self) -> None:
+        state_dict = st.load_file(self.config.checkpoint_path, dtype=self.dtype)
+        state_dict = {convert_from_original_key(k): v for k, v in state_dict.items()}
+
+        # OpenCLIP -> transformers for text_encoder_2 (qkv split)
+        te2 = convert_open_clip_to_transformers(
+            {k: v for k, v in state_dict.items() if "text_encoder_2." in k}
+        )
+        state_dict = {
+            **{k: v for k, v in state_dict.items() if "text_encoder_2." not in k},
+            **te2,
+        }
+        # drop HF bookkeeping keys if present
+        state_dict = {
+            k: v for k, v in state_dict.items() if ".embeddings.position_ids" not in k
+        }
+        # sgm stores VAE attention as 1x1 convs; we use linears
+        # (reference vae.py:52-63)
+        state_dict = {
+            k: (v[:, :, 0, 0] if _VAE_ATTN_WEIGHT.search(k) and v.ndim == 4 else v)
+            for k, v in state_dict.items()
+        }
+        self.load_state_dict(state_dict)
+
+    @classmethod
+    def from_checkpoint(cls, config: SDXLConfig, tokenizer=None) -> "SDXLModel":
+        model = cls(config, tokenizer=tokenizer)
+        model._from_checkpoint()
+        return model
+
+    def init_params(self, key: jax.Array, dtype=None) -> None:
+        """Random init (tests / training-from-scratch)."""
+        dtype = dtype or self.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.params = {
+            "denoiser": self.denoiser.init(k1, dtype),
+            "vae": self.vae.init(k2, dtype),
+            "text_encoder": self.text_encoder.init(k3, dtype),
+        }
+
+    def state_dict(self) -> dict[str, jax.Array]:
+        """Flat dict in the *original* (sgm single-file) key layout."""
+        from ...nn import flatten_params
+
+        flat = {}
+        flat.update({f"denoiser.{k}": v for k, v in flatten_params(self.params["denoiser"]).items()})
+        flat.update({f"vae.{k}": v for k, v in flatten_params(self.params["vae"]).items()})
+        flat.update(
+            {f"text_encoder.{k}": v for k, v in flatten_params(self.params["text_encoder"]).items()}
+        )
+        te2 = convert_transformers_to_open_clip(
+            {k: v for k, v in flat.items() if k.startswith("text_encoder.text_encoder_2.")}
+        )
+        flat = {
+            **{k: v for k, v in flat.items() if not k.startswith("text_encoder.text_encoder_2.")},
+            **te2,
+        }
+        flat = {
+            k: (v[:, :, None, None] if _VAE_ATTN_WEIGHT.search(k) and v.ndim == 2 else v)
+            for k, v in flat.items()
+        }
+        return {convert_to_original_key(k): v for k, v in flat.items()}
+
+    # -- latents / images ------------------------------------------------------
+
+    def prepare_latents(
+        self,
+        batch_size: int,
+        height: int,
+        width: int,
+        max_noise_sigma: float,
+        seed: Optional[int] = None,
+    ) -> jax.Array:
+        ratio = int(self.vae.compression_ratio)
+        shape = (
+            batch_size,
+            height // ratio,
+            width // ratio,
+            self.denoiser.config.in_channels,
+        )
+        noise = tensor_utils.incremental_seed_randn(shape, seed, dtype=self.dtype)
+        return noise * max_noise_sigma
+
+    def encode_image(self, image, key: Optional[jax.Array] = None) -> jax.Array:
+        """PIL image(s) or NHWC array in [-1,1] -> scaled latents."""
+        if isinstance(image, Image.Image):
+            image = tensor_utils.images_to_tensor([image], self.dtype)
+        elif isinstance(image, (list, tuple)):
+            image = tensor_utils.images_to_tensor(list(image), self.dtype)
+        dist = self.vae.encode(self.params["vae"], image.astype(self.dtype))
+        z = dist.sample(key) if key is not None else dist.mode()
+        return z * self.vae.scaling_factor
+
+    def decode_image(self, latents: jax.Array, use_tiling: bool = False) -> list[Image.Image]:
+        z = latents / self.vae.scaling_factor
+        if use_tiling:
+            image = self.vae.tiled_decode(self.params["vae"], z)
+        else:
+            image = self.vae.decode(self.params["vae"], z)
+        return tensor_utils.tensor_to_images(image)
+
+    # -- compiled denoise step ---------------------------------------------------
+
+    def _denoise_step(
+        self,
+        params,
+        latents,
+        timestep,
+        sigma,
+        next_sigma,
+        embeddings,
+        pooled,
+        original_size,
+        target_size,
+        crop_coords,
+        cfg_scale,
+        noise,
+        do_cfg: bool,
+    ):
+        """One Euler-ancestral CFG step — the jit unit."""
+        model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
+        model_input = self.scheduler.scale_model_input(model_input, sigma).astype(
+            latents.dtype
+        )
+        batch = model_input.shape[0]
+        noise_pred = self.denoiser(
+            params,
+            model_input,
+            jnp.broadcast_to(timestep, (batch,)),
+            embeddings,
+            pooled,
+            original_size,
+            target_size,
+            crop_coords,
+        )
+        if do_cfg:
+            positive, negative = jnp.split(noise_pred, 2)
+            noise_pred = negative + cfg_scale * (positive - negative)
+        new_latents = self.scheduler.ancestral_step(
+            latents.astype(jnp.float32),
+            noise_pred.astype(jnp.float32),
+            sigma,
+            next_sigma,
+            noise,
+        )
+        return new_latents.astype(latents.dtype)
+
+    def _get_jit_step(self, do_cfg: bool):
+        if do_cfg not in self._jit_steps:
+            self._jit_steps[do_cfg] = jax.jit(
+                partial(self._denoise_step, do_cfg=do_cfg)
+            )
+        return self._jit_steps[do_cfg]
+
+    # -- generate ------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt,
+        negative_prompt=None,
+        width: int = 768,
+        height: int = 768,
+        original_size: Optional[tuple[int, int]] = None,
+        target_size: Optional[tuple[int, int]] = None,
+        crop_coords_top_left: tuple[int, int] = (0, 0),
+        num_inference_steps: int = 20,
+        cfg_scale: float = 3.5,
+        max_token_length: int = 75,
+        seed: Optional[int] = None,
+    ) -> list[Image.Image]:
+        do_cfg = cfg_scale > 1.0
+        timesteps = self.scheduler.get_timesteps(num_inference_steps)
+        sigmas = self.scheduler.get_sigmas(timesteps)
+        batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
+        original_size = original_size or (height, width)
+        target_size = target_size or (height, width)
+        should_tile = max(height, width) >= 1536
+
+        encoder_output = self.text_encoder.encode_prompts(
+            self.params["text_encoder"],
+            prompt,
+            negative_prompt,
+            use_negative_prompts=do_cfg,
+            max_token_length=max_token_length,
+        )
+        embeddings, pooled = self.prepare_encoder_hidden_states(encoder_output, do_cfg)
+        embeddings = embeddings.astype(self.dtype)
+        pooled = pooled.astype(self.dtype)
+
+        latents = self.prepare_latents(
+            batch_size, height, width, self.scheduler.get_max_noise_sigma(sigmas), seed
+        )
+
+        cond_batch = embeddings.shape[0]
+        sizes = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (cond_batch, 2))
+        original_size_t = sizes(original_size)
+        target_size_t = sizes(target_size)
+        crop_t = sizes(crop_coords_top_left)
+
+        step = self._get_jit_step(do_cfg)
+        noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
+        for i, t in enumerate(timesteps):
+            step_noise = tensor_utils.incremental_seed_randn(
+                latents.shape, noise_seed + 7919 * (i + 1), dtype=jnp.float32
+            )
+            latents = step(
+                self.params["denoiser"],
+                latents,
+                jnp.float32(t),
+                jnp.float32(sigmas[i]),
+                jnp.float32(sigmas[i + 1]),
+                embeddings,
+                pooled,
+                original_size_t,
+                target_size_t,
+                crop_t,
+                jnp.float32(cfg_scale),
+                step_noise,
+            )
+
+        return self.decode_image(latents, use_tiling=should_tile)
+
+    def prepare_encoder_hidden_states(self, encoder_output, do_cfg: bool):
+        """cat(te1 768, te2 1280) -> 2048-d context; CFG batch-double
+        [positive; negative] (reference pipeline.py:239-284)."""
+        te1, te2 = encoder_output.text_encoder_1, encoder_output.text_encoder_2
+        positive = jnp.concatenate([te1.positive_embeddings, te2.positive_embeddings], axis=-1)
+        if do_cfg:
+            negative = jnp.concatenate(
+                [te1.negative_embeddings, te2.negative_embeddings], axis=-1
+            )
+            embeddings = jnp.concatenate([positive, negative], axis=0)
+            pooled = jnp.concatenate(
+                [te2.pooled_positive_embeddings, te2.pooled_negative_embeddings], axis=0
+            )
+        else:
+            embeddings = positive
+            pooled = te2.pooled_positive_embeddings
+        return embeddings, pooled
