@@ -1,0 +1,76 @@
+"""Driver benchmark: full-size SDXL UNet denoiser step on one TPU chip.
+
+Measures the innermost hot path of both training and inference (SURVEY.md
+§3.1/§3.2): one CFG denoise forward at 1024px (2x128x128x4 latents, 77-token
+context, bf16). Prints ONE JSON line.
+
+vs_baseline: A100 + flash-attn runs the SDXL UNet forward at roughly 10
+CFG-steps/s at 1024px batch 1 (diffusers 20-step generate in ~2s); the
+reference publishes no numbers of its own (BASELINE.md), so that is the
+stand-in denominator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_STEPS_PER_SEC = 10.0
+
+
+def main() -> None:
+    from vision_ft_tpu.models.sdxl.config import DenoiserConfig
+    from vision_ft_tpu.models.sdxl.denoiser import Denoiser
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    config = DenoiserConfig()
+    denoiser = Denoiser(config)
+
+    if on_tpu:
+        batch, h, w = 2, 128, 128  # CFG pair at 1024px
+    else:  # CPU smoke fallback so the script never hard-fails
+        batch, h, w = 2, 32, 32
+
+    params = denoiser.init(jax.random.PRNGKey(0), jnp.bfloat16)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 4), jnp.bfloat16)
+    timestep = jnp.full((batch,), 500.0, jnp.float32)
+    context = jax.random.normal(
+        jax.random.PRNGKey(2), (batch, 77, config.context_dim), jnp.bfloat16
+    )
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (batch, 1280), jnp.bfloat16)
+    size = jnp.full((batch, 2), float(h * 8), jnp.float32)
+    crop = jnp.zeros((batch, 2), jnp.float32)
+
+    fn = jax.jit(
+        lambda p, x, t, c, pl: denoiser(p, x, t, c, pl, size, size, crop)
+    )
+
+    # warmup / compile
+    fn(params, latents, timestep, context, pooled).block_until_ready()
+    fn(params, latents, timestep, context, pooled).block_until_ready()
+
+    n_iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(params, latents, timestep, context, pooled)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_unet_fwd_1024px_cfg_steps_per_sec",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / A100_BASELINE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+from .mesh import (
+    MeshConfig,
+    barrier,
+    batch_sharding,
+    get_abstract_state,
+    is_main_process,
+    make_mesh,
+    mean_gather,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "MeshConfig",
+    "barrier",
+    "batch_sharding",
+    "get_abstract_state",
+    "is_main_process",
+    "make_mesh",
+    "mean_gather",
+    "param_shardings",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+]
