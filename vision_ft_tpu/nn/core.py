@@ -98,6 +98,83 @@ class Identity(Module):
         return x
 
 
+_PEFT_ENABLED: list[bool] = [True]
+
+
+def set_peft_enabled(enabled: bool) -> None:
+    """Trace-time global toggle for adapter application (the functional
+    analogue of the reference's per-layer ``enabled`` flag,
+    /root/reference/src/modules/peft/lora.py:95-99). Jitted callables
+    capture the flag at trace time — re-jit after toggling."""
+    _PEFT_ENABLED[0] = enabled
+
+
+def peft_enabled() -> bool:
+    return _PEFT_ENABLED[0]
+
+
+def _linear_adapter_delta(params: Params, x: jax.Array) -> jax.Array | None:
+    """LoRA / LoHa delta for a Linear whose params carry adapter subtrees.
+
+    Key layout matches the reference torch state dicts exactly
+    (lora_down.weight/lora_up.weight/alpha — src/modules/peft/lora.py:19-66;
+    hada_w1_a.. — loha.py:22-60), so adapter safetensors round-trip with
+    nothing but flatten/unflatten.
+    """
+    if not _PEFT_ENABLED[0]:
+        return None
+    if "lora_down" in params:
+        down_w = params["lora_down"]["weight"]
+        up_w = params["lora_up"]["weight"]
+        rank = down_w.shape[0]
+        scale = (params["alpha"].astype(jnp.float32) / rank).astype(x.dtype)
+        h = x @ down_w.astype(x.dtype).T
+        h = h @ up_w.astype(x.dtype).T
+        if "bias" in params["lora_up"]:
+            h = h + params["lora_up"]["bias"].astype(x.dtype)
+        return h * scale
+    if "hada_w1_a" in params:
+        w1 = params["hada_w1_a"].astype(jnp.float32) @ params["hada_w1_b"].astype(jnp.float32)
+        w2 = params["hada_w2_a"].astype(jnp.float32) @ params["hada_w2_b"].astype(jnp.float32)
+        rank = params["hada_w1_a"].shape[1]
+        scale = params["alpha"].astype(jnp.float32) / rank
+        weight = (w1 * w2).astype(x.dtype)  # (in, out)
+        return (x @ weight) * scale.astype(x.dtype)
+    return None
+
+
+def _conv_adapter_delta(
+    params: Params, x: jax.Array, stride: int, padding: int
+) -> jax.Array | None:
+    """LoRA delta for a Conv2d (kohya conv-LoRA layout: down = same-geometry
+    conv to rank channels, up = 1x1 conv; reference lora.py:167-255)."""
+    if not _PEFT_ENABLED[0] or "lora_down" not in params:
+        return None
+    down_w = params["lora_down"]["weight"].astype(x.dtype)
+    up_w = params["lora_up"]["weight"].astype(x.dtype)
+    rank = down_w.shape[0]
+    scale = (params["alpha"].astype(jnp.float32) / rank).astype(x.dtype)
+    h = lax.conv_general_dilated(
+        x,
+        down_w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+    h = lax.conv_general_dilated(
+        h,
+        up_w,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+    )
+    if "bias" in params["lora_up"]:
+        h = h + params["lora_up"]["bias"].astype(x.dtype)
+    return h * scale
+
+
 class Linear(Module):
     def __init__(self, in_features: int, out_features: int, bias: bool = True):
         self.in_features = in_features
@@ -128,6 +205,9 @@ class Linear(Module):
         )
         if "bias" in params:
             y = y + params["bias"].astype(y.dtype)
+        delta = _linear_adapter_delta(params, x)
+        if delta is not None:
+            y = y + delta
         return y
 
 
@@ -179,6 +259,9 @@ class Conv2d(Module):
         )
         if "bias" in params:
             y = y + params["bias"].astype(y.dtype)
+        delta = _conv_adapter_delta(params, x, self.stride, self.padding)
+        if delta is not None:
+            y = y + delta
         return y
 
 
