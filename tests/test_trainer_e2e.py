@@ -1,0 +1,172 @@
+"""End-to-end Trainer run: tiny SDXL + LoRA on the 8-device CPU mesh.
+
+Covers: config validation, dataset wiring, PEFT setup, jitted grad/apply
+loop with gradient accumulation, saving callback cadence + comfy-key LoRA
+export, debug modes.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vision_ft_tpu.config import TrainConfig
+from vision_ft_tpu.dataset.text_to_image import TextToImageDatasetConfig
+from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
+from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
+from vision_ft_tpu.models.sdxl.train_text_to_image import SDXLForTextToImageTraining
+from vision_ft_tpu.models.text_encoders import CLIPTextConfig
+from vision_ft_tpu.nn import flatten_params
+from vision_ft_tpu.trainer import Trainer
+from vision_ft_tpu.utils import safetensors as st
+
+
+class MockTokenizer:
+    bos_token_id = 0
+    eos_token_id = 999
+    pad_token_id = 999
+
+    def __call__(self, prompts, max_length=None, **kw):
+        rows = []
+        for p in prompts:
+            ids = [3 + (hash(w) % 900) for w in p.split()][: max_length - 2]
+            row = [0, *ids, 999]
+            row += [999] * (max_length - len(row))
+            rows.append(row)
+        return np.asarray(rows, dtype=np.int32)
+
+
+class TinySDXLTraining(SDXLForTextToImageTraining):
+    def setup_model(self):
+        self.model = SDXLModel(
+            self.model_config,
+            tokenizer=MockTokenizer(),
+            vae_config=AutoencoderKLConfig(
+                block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4
+            ),
+            text_encoder_config_1=CLIPTextConfig(
+                vocab_size=1000, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4, hidden_act="quick_gelu",
+            ),
+            text_encoder_config_2=CLIPTextConfig(
+                vocab_size=1000, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=2, num_attention_heads=4, hidden_act="gelu",
+                projection_dim=1280,
+            ),
+        )
+        self.model.init_params(jax.random.PRNGKey(0))
+
+    def preview_step(self, batch, preview_index):
+        return super().preview_step(batch, preview_index)
+
+
+@pytest.fixture
+def data_folder(tmp_path):
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "data"
+    folder.mkdir()
+    for i in range(16):
+        arr = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(folder / f"img_{i}.png")
+        (folder / f"img_{i}.txt").write_text(f"a photo number {i}")
+    return folder
+
+
+def _make_config(tmp_path, data_folder, **overrides):
+    config = {
+        "model": {
+            "checkpoint_path": "",
+            "dtype": "float32",
+            "max_token_length": 75,
+            "denoiser": {
+                "hidden_dim": 32,
+                "num_head_channels": 8,
+                "context_dim": 64 + 48,
+                "block_out_channels": [32, 64, 64],
+                "num_transformers_per_block": [1, 1, 1],
+            },
+        },
+        "dataset": {
+            "folder": str(data_folder),
+            "batch_size": 8,
+            "bucket_base_size": 64,
+            "step": 32,
+            "min_size": 32,
+            "num_repeats": 1,
+        },
+        "peft": {
+            "include_keys": ["attn1", "attn2"],
+            "exclude_keys": ["to_out"],
+            "config": {"type": "lora", "rank": 4, "alpha": 4.0, "dtype": "float32"},
+        },
+        "optimizer": {"name": "torch.optim.AdamW", "args": {"lr": 1e-3}},
+        "saving": {
+            "strategy": {"per_epochs": 1, "per_steps": None},
+            "callbacks": [
+                {"type": "safetensors", "name": "lora", "save_dir": str(tmp_path / "out")}
+            ],
+        },
+        "seed": 0,
+        "num_train_epochs": 2,
+        "trainer": {"gradient_accumulation_steps": 2},
+    }
+    config.update(overrides)
+    return TrainConfig.model_validate(config)
+
+
+def test_full_lora_training_run(tmp_path, data_folder):
+    config = _make_config(tmp_path, data_folder)
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_model_class(TinySDXLTraining)
+    trainer.train()
+
+    # adapter-only checkpoint in comfy key layout was written each epoch
+    files = sorted((tmp_path / "out").glob("*.safetensors"))
+    assert len(files) == 2  # per_epochs=1 x 2 epochs
+    sd = st.load_file(files[-1])
+    assert len(sd) > 0
+    assert all(k.startswith(("diffusion_model.", "clip_l.", "clip_g.")) for k in sd)
+    assert any(k.endswith(".lora_down.weight") for k in sd)
+    assert any(k.endswith(".alpha") for k in sd)
+    # up weights trained away from zero
+    ups = [np.asarray(v) for k, v in sd.items() if k.endswith(".lora_up.weight")]
+    assert any(np.abs(u).max() > 0 for u in ups)
+    # base weights unchanged in the live model (frozen)
+    flat = flatten_params(trainer.model.get_params())
+    assert "denoiser.input_blocks.blocks.0.0.weight" in flat
+
+
+def test_full_finetune_trains_denoiser_only(tmp_path, data_folder):
+    config = _make_config(
+        tmp_path, data_folder, peft=None, num_train_epochs=1,
+        trainer={"debug_mode": "1step", "gradient_accumulation_steps": 1},
+        saving=None,
+    )
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_model_class(TinySDXLTraining)
+    trainer.train()
+    t_keys = flatten_params(trainer.trainable).keys()
+    assert all(k.startswith("denoiser.") for k in t_keys)
+    f_keys = flatten_params(trainer.frozen).keys()
+    assert any(k.startswith("text_encoder.") for k in f_keys)
+    assert any(k.startswith("vae.") for k in f_keys)
+
+
+def test_debug_modes(tmp_path, data_folder, capsys):
+    for mode in ("sanity_check", "dataset"):
+        config = _make_config(
+            tmp_path, data_folder, num_train_epochs=1,
+            trainer={"debug_mode": mode},
+            saving=None,
+        )
+        trainer = Trainer(config)
+        trainer.register_train_dataset_class(TextToImageDatasetConfig)
+        trainer.register_model_class(TinySDXLTraining)
+        trainer.train()
+    out = capsys.readouterr().out
+    assert "Sanity check done" in out
+    assert "Dataset check done" in out

@@ -1,0 +1,117 @@
+"""Train config schema (YAML-compatible with the reference).
+
+Behavioral spec: /root/reference/src/config.py — the same pydantic tree
+(model/dataset stay dicts for two-stage validation by the workload class;
+discriminated unions for saving/preview/peft; debug_mode levels), so
+reference YAMLs are drop-in. TPU deltas:
+  - ``trainer.torch_compile*`` accepted but ignored (everything is jit).
+  - ``trainer.fp32_matmul_precision`` maps to jax default matmul precision.
+  - new optional ``trainer.mesh`` {data,fsdp,tensor} sizes for SPMD.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Literal, Optional, Union
+
+import yaml
+from pydantic import BaseModel
+
+from .dataset.preview import TextToImagePreviewConfig
+from .modules.peft import PeftTargetConfig
+from .preview import PreviewCallbackConfigAlias, PreviewStrategyConfig
+from .saving import (
+    ModelSavingCallbackConfgiAlias,
+    ModelSavingStrategyConfig,
+    SafetensorsSavingCallbackConfig,
+)
+
+PreviewDatasetAlias = TextToImagePreviewConfig
+
+
+class OptimizerConfig(BaseModel):
+    name: str = "torch.optim.AdamW"
+    args: dict = {"lr": 1e-3}
+
+
+class SchedulerConfig(BaseModel):
+    name: str = "torch.optim.lr_scheduler.ConstantLR"
+    args: dict = {}
+
+
+class SavingConfig(BaseModel):
+    strategy: ModelSavingStrategyConfig = ModelSavingStrategyConfig()
+    callbacks: list[ModelSavingCallbackConfgiAlias] = [
+        SafetensorsSavingCallbackConfig(name="model", save_dir="./output")
+    ]
+    rename_key_map: dict[str, str] = {}
+
+
+class PreviewConfig(BaseModel):
+    strategy: PreviewStrategyConfig = PreviewStrategyConfig()
+    callbacks: list[PreviewCallbackConfigAlias] = []
+    data: PreviewDatasetAlias
+
+
+class TrackerConfig(BaseModel):
+    project_name: str
+    loggers: list[Literal["wandb", "tensorboard"]]
+
+
+DEBUG_MODE_TYPE = Literal[False, "sanity_check", "1step", "dataset"]
+
+
+class MeshConfigSchema(BaseModel):
+    data: int = -1
+    fsdp: int = 1
+    tensor: int = 1
+
+
+class TrainerConfig(BaseModel):
+    debug_mode: DEBUG_MODE_TYPE = False
+
+    # accepted for reference-YAML compat; jit is always on under jax
+    torch_compile: bool = False
+    torch_compile_args: dict = {}
+
+    gradient_checkpointing: bool = False
+    gradient_accumulation_steps: int = 1
+
+    clip_grad_norm: Optional[float] = None
+    clip_grad_value: Optional[float] = None
+
+    fp32_matmul_precision: Optional[Literal["highest", "high", "medium"]] = None
+    allow_tf32: bool = False  # no-op on TPU (accepted for compat)
+
+    mesh: MeshConfigSchema = MeshConfigSchema()
+
+
+class TrainConfig(BaseModel):
+    model: Union[dict, BaseModel]
+    dataset: Union[dict, BaseModel]
+    peft: Union[PeftTargetConfig, list[PeftTargetConfig], None] = None
+
+    optimizer: OptimizerConfig = OptimizerConfig()
+    scheduler: Optional[SchedulerConfig] = None
+    saving: Optional[SavingConfig] = SavingConfig()
+    preview: Optional[PreviewConfig] = None
+    tracker: Optional[TrackerConfig] = None
+    trainer: TrainerConfig = TrainerConfig()
+
+    seed: int = 42
+    num_train_epochs: int = 1
+
+    def to_dict(self) -> dict:
+        return self.model_dump()
+
+    def save_to(self, dir: Union[Path, str], filename: str = "config.yaml") -> None:
+        dir = Path(dir)
+        dir.mkdir(parents=True, exist_ok=True)
+        with open(dir / filename, "w") as f:
+            yaml.dump(self.to_dict(), f)
+
+    @staticmethod
+    def from_config_file(path: str) -> "TrainConfig":
+        with open(path) as f:
+            config = yaml.safe_load(f)
+        return TrainConfig.model_validate(config, strict=True)

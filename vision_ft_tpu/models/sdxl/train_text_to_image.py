@@ -1,0 +1,186 @@
+"""SDXL text-to-image training workload.
+
+Behavioral spec: /root/reference/train/sdxl/text_to_image.py — the
+canonical ModelForTraining subclass: epsilon-prediction DDPM loss with
+uniform integer timesteps, frozen text encoders + VAE, preview via
+generate(), full-model or comfy-key LoRA saving.
+
+TPU-native split: tokenization happens in ``preprocess_batch`` (host);
+``loss_fn`` is pure — text-encoder forward, VAE encode, noising, denoiser
+and MSE all trace into ONE jitted+SPMD program per bucket shape, with
+stop_gradient fencing the frozen encoders so no residuals are kept for
+them (the analogue of the reference's torch.no_grad blocks).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL.Image import Image
+
+from ...config import TrainConfig
+from ...models.for_training import ModelForTraining
+from ...modules.long_prompt import tokenize_long_prompt
+from ...modules.loss.diffusion import loss_with_predicted_noise, prepare_noised_latents
+from ...modules.peft import get_adapter_parameters, merge_params
+from ...modules.timestep.sampling import uniform_randint
+from .config import SDXLConfig
+from .pipeline import SDXLModel
+from .text_encoder import CHUNK_LENGTH
+from .util import convert_to_comfy_key
+
+
+class SDXLForTextToImageTrainingConfig(SDXLConfig):
+    max_token_length: int = 225  # 75 * 3
+
+
+def _default_tokenizer():
+    """Load the native CLIP BPE tokenizer from local assets if available
+    (CLIP_VOCAB_DIR with vocab.json + merges.txt); else None."""
+    vocab_dir = os.environ.get("CLIP_VOCAB_DIR")
+    if vocab_dir and os.path.isdir(vocab_dir):
+        from ..text_encoders.tokenizer import CLIPTokenizer
+
+        return CLIPTokenizer.from_pretrained_dir(vocab_dir)
+    return None
+
+
+class SDXLForTextToImageTraining(ModelForTraining):
+    model: SDXLModel
+    model_config: SDXLForTextToImageTrainingConfig
+    model_config_class = SDXLForTextToImageTrainingConfig
+
+    def __init__(self, trainer, config: TrainConfig, tokenizer=None) -> None:
+        self.tokenizer = tokenizer
+        super().__init__(trainer, config)
+
+    def before_setup_model(self) -> None:
+        pass
+
+    def setup_model(self) -> None:
+        tokenizer = self.tokenizer or _default_tokenizer()
+        if os.path.exists(self.model_config.checkpoint_path):
+            self.model = SDXLModel.from_checkpoint(self.model_config, tokenizer=tokenizer)
+        else:
+            # no checkpoint (tests / from-scratch): random init
+            self.model = SDXLModel(self.model_config, tokenizer=tokenizer)
+            self.model.init_params(jax.random.PRNGKey(self.config.seed))
+
+    def after_setup_model(self) -> None:
+        if self.config.trainer.gradient_checkpointing:
+            self.model.denoiser.set_gradient_checkpointing(True)
+
+    def sanity_check(self) -> None:
+        params = self.model.params["denoiser"]
+        dtype = self.model.dtype
+        latent = jnp.zeros((1, 12, 12, self.model.denoiser.config.in_channels), dtype)
+        out = self.model.denoiser(
+            params,
+            latent,
+            jnp.array([50.0]),
+            jnp.zeros((1, 77, self.model.denoiser.config.context_dim), dtype),
+            jnp.zeros((1, 1280), dtype),
+            jnp.full((1, 2), 96.0),
+            jnp.full((1, 2), 96.0),
+            jnp.zeros((1, 2)),
+        )
+        assert out.shape == latent.shape
+
+    # -- data ------------------------------------------------------------------
+
+    def preprocess_batch(self, batch: dict) -> dict:
+        captions = [
+            self.model.text_encoder.escape_exclamation(c) for c in batch["caption"]
+        ]
+        tokenizer = self.model.text_encoder.tokenizer
+        if tokenizer is None:
+            raise RuntimeError("No tokenizer configured for training")
+        ids, _mask = tokenize_long_prompt(
+            tokenizer,
+            captions,
+            max_length=self.model_config.max_token_length,
+            chunk_length=CHUNK_LENGTH,
+        )
+        return {
+            "pixel_values": np.asarray(batch["image"], np.float32),
+            "input_ids": np.asarray(ids),
+            "original_size": np.asarray(batch["original_size"], np.float32),
+            "target_size": np.asarray(batch["target_size"], np.float32),
+            "crop_coords_top_left": np.asarray(batch["crop_coords_top_left"], np.float32),
+        }
+
+    # -- loss ------------------------------------------------------------------
+
+    def loss_fn(self, trainable, frozen, batch, key):
+        params = merge_params(frozen, trainable)
+        model = self.model
+        dtype = model.dtype
+        batch_size = batch["pixel_values"].shape[0]
+        k_vae, k_t, k_noise = jax.random.split(key, 3)
+
+        # 1. inputs — frozen encoders behind stop_gradient (reference
+        #    no_grad blocks, train/sdxl/text_to_image.py:99-122)
+        emb1, emb2, pooled = model.text_encoder.encode_tokens(
+            params["text_encoder"], batch["input_ids"], batch["input_ids"], batch_size
+        )
+        context = jax.lax.stop_gradient(
+            jnp.concatenate([emb1, emb2], axis=-1).astype(dtype)
+        )
+        pooled = jax.lax.stop_gradient(pooled.astype(dtype))
+
+        dist = model.vae.encode(params["vae"], batch["pixel_values"].astype(dtype))
+        latents = dist.sample(k_vae) * model.vae.scaling_factor
+        latents = jax.lax.stop_gradient(latents.astype(dtype))
+
+        timesteps = uniform_randint(k_t, latents.shape, 0, 1000)
+
+        # 2. noise
+        noisy_latents, random_noise = prepare_noised_latents(k_noise, latents, timesteps)
+
+        # 3. predict
+        noise_pred = model.denoiser(
+            params["denoiser"],
+            noisy_latents,
+            timesteps.astype(jnp.float32),
+            context,
+            pooled,
+            batch["original_size"],
+            batch["target_size"],
+            batch["crop_coords_top_left"],
+        )
+
+        # 4. loss
+        loss = loss_with_predicted_noise(latents, random_noise, noise_pred)
+        return loss, {}
+
+    def eval_step(self, batch):
+        raise NotImplementedError
+
+    # -- preview / saving -------------------------------------------------------
+
+    def preview_step(self, batch: dict, preview_index: int) -> list[Image]:
+        prompt = batch["prompt"]
+        negative_prompt = batch["negative_prompt"]
+        if negative_prompt is None and batch["cfg_scale"] > 0:
+            negative_prompt = ""
+        image = self.model.generate(
+            prompt=prompt,
+            negative_prompt=negative_prompt,
+            height=batch["height"],
+            width=batch["width"],
+            cfg_scale=batch["cfg_scale"],
+            num_inference_steps=batch["num_steps"],
+            seed=batch["seed"],
+            max_token_length=self.model_config.max_token_length,
+        )[0]
+        return [image]
+
+    def get_state_dict_to_save(self):
+        if not self._is_peft:
+            return self.model.state_dict()
+        state_dict = get_adapter_parameters(self.model.params)
+        return {convert_to_comfy_key(k): v for k, v in state_dict.items()}
