@@ -22,6 +22,13 @@ A100_BASELINE_STEPS_PER_SEC = 10.0
 
 
 def main() -> None:
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vision_ft_tpu.models.sdxl.config import DenoiserConfig
     from vision_ft_tpu.models.sdxl.denoiser import Denoiser
 
@@ -34,7 +41,10 @@ def main() -> None:
     else:  # CPU smoke fallback so the script never hard-fails
         batch, h, w = 2, 32, 32
 
-    params = denoiser.init(jax.random.PRNGKey(0), jnp.bfloat16)
+    # zeros-init: matmul timing is value-independent and this avoids a
+    # 60s random-init pass over 2.6B params
+    abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     latents = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, 4), jnp.bfloat16)
     timestep = jnp.full((batch,), 500.0, jnp.float32)
     context = jax.random.normal(

@@ -1,0 +1,86 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU):
+forward parity, mask/causal handling, gradient parity through the custom
+VJP, and padding of odd shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_ft_tpu.ops.attention import _xla_attention
+from vision_ft_tpu.ops.pallas.flash_attention import flash_attention_tpu
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d",
+    [
+        (2, 4, 128, 128, 64),   # aligned, head_dim padded 64->128
+        (1, 2, 256, 384, 128),  # multi-block, aligned lanes
+        (2, 2, 77, 200, 64),    # odd lengths -> padding paths
+    ],
+)
+def test_forward_matches_xla(b, h, sq, sk, d):
+    q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+    expected = _xla_attention(q, k, v, None, d**-0.5, False)
+    got = flash_attention_tpu(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+def test_key_mask_matches_xla():
+    b, h, sq, sk, d = 2, 2, 64, 160, 64
+    q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+    # variable-length keys + a hole in the middle (Lumina2-style padding)
+    key_mask = np.ones((b, sk), bool)
+    key_mask[0, 100:] = False
+    key_mask[1, 40:60] = False
+    key_mask = jnp.asarray(key_mask)
+    expected = _xla_attention(q, k, v, key_mask[:, None, None, :], d**-0.5, False)
+    got = flash_attention_tpu(q, k, v, mask=key_mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+def test_causal_matches_xla():
+    b, h, s, d = 1, 2, 256, 64
+    q, k, v = _rand(0, (b, h, s, d)), _rand(1, (b, h, s, d)), _rand(2, (b, h, s, d))
+    expected = _xla_attention(q, k, v, None, d**-0.5, True)
+    got = flash_attention_tpu(q, k, v, is_causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_match_xla():
+    b, h, sq, sk, d = 1, 2, 128, 256, 64
+    q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+    key_mask = jnp.asarray(np.arange(sk) < 200)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_tpu(q, k, v, mask=key_mask, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, key_mask[None, None, None, :], d**-0.5, False)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_bf16_forward_close():
+    b, h, s, d = 1, 2, 128, 64
+    q = _rand(0, (b, h, s, d)).astype(jnp.bfloat16)
+    k = _rand(1, (b, h, s, d)).astype(jnp.bfloat16)
+    v = _rand(2, (b, h, s, d)).astype(jnp.bfloat16)
+    expected = _xla_attention(q, k, v, None, d**-0.5, False)
+    got = flash_attention_tpu(q, k, v, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=3e-2
+    )

@@ -47,7 +47,9 @@ class DenoiserConfig(BaseModel):
         "UpBlock2D",
     ]
 
-    attention_backend: AttentionImplementation = "xla"
+    # "flash" routes big attention through the Pallas kernel on TPU and
+    # falls back to XLA on CPU / small contexts (ops/flash_attention.py)
+    attention_backend: AttentionImplementation = "flash"
     vae_compression_ratio: float = 8.0
 
 

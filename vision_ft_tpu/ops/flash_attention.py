@@ -1,18 +1,18 @@
-"""Pallas flash attention (TPU).
+"""Flash attention dispatch.
 
-Blockwise-softmax attention that never materializes the (Sq, Sk) logits in
-HBM — the TPU-native replacement for every flash-attn/xformers call site in
-the reference (/root/reference/src/modules/attention.py:131-157).
+Routes to the Pallas TPU kernel (ops/pallas/flash_attention.py) when the
+inputs fit its support matrix, otherwise to the XLA einsum-softmax path —
+the TPU-native replacement for every flash-attn/xformers call site in the
+reference (/root/reference/src/modules/attention.py:131-157).
 
-The kernel streams K/V blocks through VMEM with online softmax; the
-backward pass recomputes the blockwise softmax from saved row statistics.
-On non-TPU backends (tests run on CPU) it falls back to the XLA path,
-which is numerically equivalent.
+Support matrix for the kernel: no mask, or a boolean key mask of shape
+(B, Sk) / (B, 1, 1, Sk); any head_dim (padded to 128 lanes); causal ok.
+Full (B, H, Sq, Sk) float/bool masks and CPU runs fall back to XLA
+(numerically equivalent; tests exercise the kernel via interpret mode).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -26,6 +26,20 @@ def _on_tpu() -> bool:
         return False
 
 
+def _as_key_mask(mask: Optional[jax.Array], b: int, sk: int) -> Optional[jax.Array]:
+    """Reduce a supported mask to (B, Sk) bool; None if unsupported."""
+    if mask is None:
+        return None
+    if mask.dtype != jnp.bool_:
+        return None  # additive float masks -> XLA path
+    shape = mask.shape
+    if shape == (b, sk) or shape == (sk,):
+        return jnp.broadcast_to(mask.reshape(-1, sk), (b, sk))
+    if len(shape) == 4 and shape[0] in (1, b) and shape[1] == 1 and shape[2] == 1:
+        return jnp.broadcast_to(mask.reshape(shape[0], sk), (b, sk))
+    return None
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -34,16 +48,24 @@ def flash_attention(
     scale: Optional[float] = None,
     is_causal: bool = False,
 ) -> jax.Array:
-    """Flash attention over (B, H, S, D). Falls back to XLA off-TPU."""
+    """Flash attention over (B, H, S, D). Falls back to XLA off-TPU or for
+    unsupported masks."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if _on_tpu() and mask is None and not is_causal:
-        try:
+
+    if _on_tpu():
+        b, _, _, _ = q.shape
+        sk = k.shape[2]
+        key_mask = _as_key_mask(mask, b, sk)
+        # tiny key contexts (e.g. 77-token cross attention) are faster on the
+        # XLA path than a padded kernel launch (measured on v5e)
+        if sk >= 256 and (mask is None or key_mask is not None):
             from .pallas.flash_attention import flash_attention_tpu
-        except ImportError:
-            pass
-        else:
-            return flash_attention_tpu(q, k, v, scale=scale)
+
+            return flash_attention_tpu(
+                q, k, v, mask=key_mask, scale=scale, is_causal=is_causal
+            )
+
     from .attention import _xla_attention
 
     return _xla_attention(q, k, v, mask, scale, is_causal)

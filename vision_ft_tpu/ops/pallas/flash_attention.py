@@ -1,0 +1,406 @@
+"""Pallas TPU flash attention (fwd + bwd).
+
+The TPU-native replacement for every flash-attn / xformers call site in
+the reference (/root/reference/src/modules/attention.py:131-157): blockwise
+online-softmax attention that never materializes the (Sq, Sk) logits in
+HBM, with a custom-VJP backward that recomputes probabilities from the
+saved logsumexp rows (flash-attention-2 style).
+
+Design (sized for image-diffusion workloads — Sq, Sk <= ~8k):
+- Grid (B*H, Sq/BLOCK_Q); each program holds one q block and streams the
+  FULL K/V for its (batch, head) through VMEM in BLOCK_K chunks via
+  fori_loop (whole K/V for 4k tokens x 128 dim bf16 is ~2 MB — resident).
+- fp32 accumulation and softmax stats; bf16 matmul inputs on the MXU.
+- Sequence padding to block multiples is masked *statically* (iota vs the
+  true length — no mask tensor for the common unmasked case). Explicit
+  key masks (padding / Lumina2 variable-length captions) become an fp32
+  additive-bias row stored 8x sublane-replicated to satisfy the (8, 128)
+  VMEM tile rule.
+- head_dim padded to 128 lanes in the wrapper; padded q rows sliced off.
+
+K/V are block-streamed so a ring/context-parallel axis can be added later
+(SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+BLOCK_Q = 512
+BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _masked_scores(s, kb, qi, block_q, kmask_row, *, causal, sk_actual, sk_pad):
+    """Apply static padding mask, optional bias row, optional causal."""
+    block_k = s.shape[1]
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if sk_actual < sk_pad:
+        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+    if kmask_row is not None:
+        s = s + kmask_row[None, :]
+    if causal:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    q = q_ref[0]  # (BQ, D) native dtype -> MXU bf16 path
+    block_q = q.shape[0]
+    qi = pl.program_id(1)
+    num_kb = sk_pad // block_k
+
+    def body(kb, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK) fp32
+        bias_row = (
+            bias_ref[0, 0, pl.ds(kb * block_k, block_k)] if has_bias else None
+        )
+        s = _masked_scores(
+            s, kb, qi, block_q, bias_row,
+            causal=causal, sk_actual=sk_actual, sk_pad=sk_pad,
+        )
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+    m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((block_q,), jnp.float32)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+
+    l_safe = jnp.maximum(l_i, 1e-30)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse = m_i + jnp.log(l_safe)
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, block_q))
+
+
+def _bias_spec(sk_pad):
+    return pl.BlockSpec((1, 8, sk_pad), lambda bh, i: (bh, 0, 0))
+
+
+def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    sk_pad = k.shape[2]
+    grid = (b * h, sq // block_q)
+    has_bias = bias is not None
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        sk_actual=sk_actual, sk_pad=sk_pad, has_bias=has_bias, block_k=block_k,
+    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+    ]
+    args = [q.reshape(b * h, sq, d), k.reshape(b * h, sk_pad, d), v.reshape(b * h, sk_pad, d)]
+    if has_bias:
+        in_specs.append(_bias_spec(sk_pad))
+        args.append(bias)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 8, sq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return o.reshape(b, h, sq, d), lse  # lse stays (b*h, 8, sq) replicated
+
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    block_q = q.shape[0]
+    qi = pl.program_id(1)
+    num_kb = sk_pad // block_k
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        bias_row = (
+            bias_ref[0, 0, pl.ds(kb * block_k, block_k)] if has_bias else None
+        )
+        s = _masked_scores(
+            s, kb, qi, block_q, bias_row,
+            causal=causal, sk_actual=sk_actual, sk_pad=sk_pad,
+        )
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta[:, None]) * scale).astype(k_blk.dtype)
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    dq = jax.lax.fori_loop(0, num_kb, body, dq)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias, block_q):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+    k_blk = k_ref[0]  # (BK, D) native dtype
+    v_blk = v_ref[0]
+    block_k = k_blk.shape[0]
+    ki = pl.program_id(1)
+    num_qb = sq_pad // block_q
+    bias_row = bias_ref[0, 0, pl.ds(ki * block_k, block_k)] if has_bias else None
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        lse_blk = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        delta_blk = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK)
+        # note: ki/qb swap roles vs the dq kernel in _masked_scores
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+        if bias_row is not None:
+            s = s + bias_row[None, :]
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        if causal:
+            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        p = jnp.exp(s - lse_blk[:, None])
+        # zero padded q rows (their lse is garbage)
+        p = jnp.where(q_pos < sq_actual, p, 0.0)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do_blk.dtype), do_blk,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta_blk[:, None]) * scale).astype(q_blk.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk = jnp.zeros(k_blk.shape, jnp.float32)
+    dv = jnp.zeros(v_blk.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
+               block_q, block_k, interpret):
+    b, h, sq_pad, d = q.shape
+    sk_pad = k.shape[2]
+    has_bias = bias is not None
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    q_ = q.reshape(b * h, sq_pad, d)
+    k_ = k.reshape(b * h, sk_pad, d)
+    v_ = v.reshape(b * h, sk_pad, d)
+    do_ = do.reshape(b * h, sq_pad, d)
+    lse_ = lse  # (b*h, 8, sq_pad) sublane-replicated
+    delta_ = jnp.broadcast_to(
+        delta.reshape(b * h, 1, sq_pad), (b * h, 8, sq_pad)
+    )
+
+    dq_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+    ]
+    dq_args = [q_, k_, v_]
+    if has_bias:
+        dq_specs.append(_bias_spec(sk_pad))
+        dq_args.append(bias)
+    dq_specs += [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+        pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+    ]
+    dq_args += [do_, lse_, delta_]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal,
+            sk_actual=sk_actual, sk_pad=sk_pad, has_bias=has_bias,
+            block_k=block_k,
+        ),
+        grid=(b * h, sq_pad // block_q),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(*dq_args)
+
+    dkv_specs = [
+        pl.BlockSpec((1, sq_pad, d), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0)),
+    ]
+    dkv_args = [q_, k_, v_]
+    if has_bias:
+        dkv_specs.append(_bias_spec(sk_pad))
+        dkv_args.append(bias)
+    dkv_specs += [
+        pl.BlockSpec((1, sq_pad, d), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((1, 8, sq_pad), lambda bh, ki: (bh, 0, 0)),
+        pl.BlockSpec((1, 8, sq_pad), lambda bh, ki: (bh, 0, 0)),
+    ]
+    dkv_args += [do_, lse_, delta_]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
+            has_bias=has_bias, block_q=block_q,
+        ),
+        grid=(b * h, sk_pad // block_k),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(*dkv_args)
+
+    return (
+        dq.reshape(b, h, sq_pad, d),
+        dk.reshape(b, h, sk_pad, d),
+        dv.reshape(b, h, sk_pad, d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public entry (padding + custom vjp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_attention_core(
+    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret
+):
+    o, _ = _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret)
+    return o
+
+
+def _core_fwd(
+    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret
+):
+    o, lse = _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _core_bwd(scale, causal, sq_actual, sk_actual, block_q, block_k, interpret, residuals, g):
+    q, k, v, bias, o, lse = residuals
+    dq, dk, dv = _flash_bwd(
+        q, k, v, bias, o, lse, g, scale, causal, sq_actual, sk_actual,
+        block_q, block_k, interpret,
+    )
+    return dq, dk, dv, None
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_attention_tpu(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, H, Sq, D).
+
+    ``mask``: optional boolean key mask, broadcastable from (B, Sk)
+    (True = attend). Full (B, H, Sq, Sk) masks are not supported here —
+    the dispatcher falls back to the XLA path for those.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    d_pad = _round_up(d, 128)
+    block_q = min(BLOCK_Q, _round_up(sq, 128))
+    block_k = min(BLOCK_K, _round_up(sk, 128))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d)))
+
+    qp, kp, vp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
+
+    bias = None
+    if mask is not None:
+        key_mask = jnp.broadcast_to(jnp.asarray(mask, bool).reshape(-1, sk), (b, sk))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, sk_pad - sk)))
+        row = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)  # (b, sk_pad)
+        # (B*H, 8, sk_pad): head-broadcast + 8x sublane replication for the
+        # (8, 128) VMEM tile rule
+        bias = jnp.broadcast_to(row[:, None, None, :], (b, h, 8, sk_pad)).reshape(
+            b * h, 8, sk_pad
+        )
+
+    out = _flash_attention_core(
+        qp, kp, vp, bias, scale, is_causal, sq, sk, block_q, block_k, interpret
+    )
+    return out[:, :, :sq, :d]
