@@ -1,0 +1,221 @@
+"""AuraFlow pipeline: single-file checkpoint I/O + generate().
+
+Behavioral spec: /root/reference/src/models/auraflow/pipeline.py. TPU
+deltas mirror the SDXL pipeline: explicit param pytree loaded straight
+from safetensors, one jitted CFG-Euler step per (batch, H, W) shape,
+NHWC latents. The flow-match loop feeds timestep = sigma (t/1000 of the
+scheduler's timesteps) like the reference (:302-341).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ...nn import flatten_params, unflatten_params
+from ...utils import safetensors as st
+from ...utils import tensor as tensor_utils
+from ..autoencoder import AutoencoderKL
+from ..sdxl.util import vae_convert_from_original_key
+from .config import AuraFlowConig
+from .denoiser import Denoiser
+from .scheduler import Scheduler
+from .text_encoder import DEFAULT_MAX_TOKEN_LENGTH, TextEncoder
+from .util import convert_from_original_key, convert_to_original_key
+from .vae import DEFAULT_VAE_CONFIG, VAE, detect_vae_type
+
+
+def _str_to_dtype(name: str):
+    return {
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float16": jnp.float16, "fp16": jnp.float16,
+        "float32": jnp.float32, "fp32": jnp.float32,
+    }[name]
+
+
+class AuraFlowModel:
+    denoiser_class: type[Denoiser] = Denoiser
+
+    def __init__(
+        self,
+        config: AuraFlowConig,
+        tokenizer=None,
+        vae_config=None,
+        text_encoder_config=None,
+    ):
+        self.config = config
+        self.dtype = _str_to_dtype(config.dtype)
+        self.denoiser = self.denoiser_class.from_config(config.denoiser)
+        self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
+        self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
+        self.scheduler = Scheduler()
+        self.params: dict = {}
+        self._jit_steps: dict = {}
+
+    @classmethod
+    def from_config(cls, config: AuraFlowConig, **kwargs) -> "AuraFlowModel":
+        return cls(config, **kwargs)
+
+    # -- checkpoint I/O ---------------------------------------------------------
+
+    def load_state_dict(self, flat: dict[str, jax.Array]) -> None:
+        self.params = {
+            root: unflatten_params(
+                {k[len(root) + 1 :]: v for k, v in flat.items() if k.startswith(f"{root}.")}
+            )
+            for root in ("denoiser", "vae", "text_encoder")
+        }
+
+    def _load_original_weights(self) -> None:
+        state_dict = st.load_file(self.config.checkpoint_path, dtype=self.dtype)
+        state_dict = {convert_from_original_key(k): v for k, v in state_dict.items()}
+        # UMT5 ties shared <-> encoder.embed_tokens; fill whichever is missing
+        shared = "text_encoder.model.shared.weight"
+        embed = "text_encoder.model.encoder.embed_tokens.weight"
+        if shared not in state_dict and embed in state_dict:
+            state_dict[shared] = state_dict[embed]
+        elif embed not in state_dict and shared in state_dict:
+            state_dict[embed] = state_dict[shared]
+        # VAE: accept both diffusers ("autoencoder_kl") and sgm ("original")
+        # namings — the reference warns and re-downloads for "original"
+        # (pipeline.py:109-117); zero-egress here, so we key-convert instead.
+        if any(k.startswith("vae.") for k in state_dict):
+            if detect_vae_type(state_dict) == "original":
+                state_dict = {
+                    (vae_convert_from_original_key(k) if k.startswith("vae.") else k): v
+                    for k, v in state_dict.items()
+                }
+        self.load_state_dict(state_dict)
+
+    @classmethod
+    def from_original_checkpoint(cls, config: AuraFlowConig, tokenizer=None) -> "AuraFlowModel":
+        model = cls(config, tokenizer=tokenizer)
+        model._load_original_weights()
+        return model
+
+    # alias for API parity with SDXLModel
+    from_checkpoint = from_original_checkpoint
+
+    def init_params(self, key: jax.Array, dtype=None) -> None:
+        dtype = dtype or self.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.params = {
+            "denoiser": self.denoiser.init(k1, dtype),
+            "vae": self.vae.init(k2, dtype),
+            "text_encoder": self.text_encoder.init(k3, dtype),
+        }
+
+    def state_dict(self) -> dict[str, jax.Array]:
+        flat = {}
+        for root in ("denoiser", "vae", "text_encoder"):
+            flat.update(
+                {f"{root}.{k}": v for k, v in flatten_params(self.params[root]).items()}
+            )
+        return {convert_to_original_key(k): v for k, v in flat.items()}
+
+    # -- latents / images ----------------------------------------------------------
+
+    def prepare_latents(
+        self,
+        batch_size: int,
+        height: int,
+        width: int,
+        seed: Optional[int] = None,
+        latents: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if latents is not None:
+            return latents.astype(self.dtype)
+        shape = (
+            batch_size,
+            height // int(self.vae.compression_ratio),
+            width // int(self.vae.compression_ratio),
+            self.denoiser.config.in_channels,
+        )
+        return tensor_utils.incremental_seed_randn(shape, seed, dtype=self.dtype)
+
+    def encode_image(self, image, key: Optional[jax.Array] = None) -> jax.Array:
+        if isinstance(image, Image.Image):
+            image = tensor_utils.images_to_tensor([image], self.dtype)
+        elif isinstance(image, (list, tuple)):
+            image = tensor_utils.images_to_tensor(list(image), self.dtype)
+        dist = self.vae.encode(self.params["vae"], image.astype(self.dtype))
+        z = dist.sample(key) if key is not None else dist.mode()
+        return z * self.vae.scaling_factor
+
+    def decode_image(self, latents: jax.Array) -> list[Image.Image]:
+        image = self.vae.decode(self.params["vae"], latents / self.vae.scaling_factor)
+        return tensor_utils.tensor_to_images(image)
+
+    # -- compiled denoise step --------------------------------------------------------
+
+    def _denoise_step(
+        self, params, latents, sigma, sigma_next, embeddings, cfg_scale, do_cfg: bool
+    ):
+        model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
+        batch = model_input.shape[0]
+        timestep = jnp.broadcast_to(sigma.astype(latents.dtype), (batch,))
+        velocity = self.denoiser(params, model_input, embeddings, timestep)
+        if do_cfg:
+            positive, negative = jnp.split(velocity, 2)
+            velocity = negative + cfg_scale * (positive - negative)
+        new_latents = latents.astype(jnp.float32) + (
+            sigma_next - sigma
+        ) * velocity.astype(jnp.float32)
+        return new_latents.astype(latents.dtype)
+
+    def _get_jit_step(self, do_cfg: bool):
+        if do_cfg not in self._jit_steps:
+            self._jit_steps[do_cfg] = jax.jit(partial(self._denoise_step, do_cfg=do_cfg))
+        return self._jit_steps[do_cfg]
+
+    # -- generate ---------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt,
+        negative_prompt=None,
+        width: int = 768,
+        height: int = 768,
+        num_inference_steps: int = 20,
+        cfg_scale: float = 1.0,
+        seed: Optional[int] = None,
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        do_offloading: bool = False,
+    ) -> list[Image.Image]:
+        do_cfg = cfg_scale > 1.0
+        timesteps, num_inference_steps = self.scheduler.retrieve_timesteps(
+            num_inference_steps
+        )
+        sigmas = self.scheduler.sigmas
+        batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
+
+        encoder_output = self.text_encoder.encode_prompts(
+            self.params["text_encoder"],
+            prompt,
+            negative_prompt,
+            use_negative_prompts=do_cfg,
+            max_token_length=max_token_length,
+        )
+        embeddings = jnp.concatenate(
+            [encoder_output.positive_embeddings, encoder_output.negative_embeddings]
+        ).astype(self.dtype)
+
+        latents = self.prepare_latents(batch_size, height, width, seed=seed)
+
+        step = self._get_jit_step(do_cfg)
+        for i in range(len(timesteps)):
+            latents = step(
+                self.params["denoiser"],
+                latents,
+                jnp.float32(sigmas[i]),
+                jnp.float32(sigmas[i + 1]),
+                embeddings,
+                jnp.float32(cfg_scale),
+            )
+
+        return self.decode_image(latents)
