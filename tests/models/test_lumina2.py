@@ -1,0 +1,228 @@
+"""Lumina2 parity vs the torch reference NextDiT + Gemma2 parity vs
+transformers + scheduler tables + tiny end-to-end generate."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tests")
+from reference_loader import import_reference
+
+from vision_ft_tpu.models.lumina2.config import DenoiserConfig, Lumina2Config
+from vision_ft_tpu.models.lumina2.denoiser import Denoiser
+from vision_ft_tpu.models.lumina2.scheduler import Scheduler
+from vision_ft_tpu.nn import flatten_params, unflatten_params
+
+TINY = dict(
+    in_channels=4,
+    out_channels=4,
+    hidden_dim=48,
+    caption_dim=40,
+    timestep_embed_dim=32,
+    depth=2,
+    num_heads=4,
+    num_kv_heads=2,
+    refiner_depth=1,
+    multiple_of=16,
+    axes_dims=[4, 4, 4],
+    axes_lens=[32, 16, 16],
+    patch_size=2,
+)
+
+
+def _torch_ref():
+    import functools
+
+    import torch
+
+    ref_mod = import_reference("src.models.lumina2.denoiser")
+    ref_cfg = import_reference("src.models.lumina2.config")
+    attention = import_reference("src.modules.attention")
+    ref_mod.scaled_dot_product_attention = functools.partial(
+        attention.scaled_dot_product_attention, attention_dtype=torch.float32
+    )
+    torch.manual_seed(0)
+    config = ref_cfg.DenoiserConfig(**TINY)
+    model = ref_mod.Denoiser(config).eval()
+    return torch, model
+
+
+def test_state_dict_keys_match():
+    torch, ref = _torch_ref()
+    ref_keys = set(ref.state_dict().keys())
+    ours = Denoiser(DenoiserConfig(**TINY))
+    our_keys = set(flatten_params(ours.init(jax.random.PRNGKey(0))).keys())
+    assert our_keys == ref_keys
+
+
+@pytest.mark.parametrize("cap_lens", [(6, 6), (6, 3)])
+def test_forward_parity(cap_lens):
+    """Same-resolution batch with per-sample caption lengths; our holey
+    layout must match the reference's packed nested-tensor layout."""
+    torch, ref = _torch_ref()
+    ours = Denoiser(DenoiserConfig(**TINY))
+    flat = {k: jnp.asarray(v.detach().numpy()) for k, v in ref.state_dict().items()}
+    params = unflatten_params(flat)
+
+    rng = np.random.default_rng(0)
+    b, L = 2, 6
+    h = w = 8
+    latents = rng.standard_normal((b, 4, h, w), np.float32)
+    captions = rng.standard_normal((b, L, TINY["caption_dim"]), np.float32)
+    t = np.array([0.3, 0.8], np.float32)
+    mask = np.zeros((b, L), bool)
+    for i, n in enumerate(cap_lens):
+        mask[i, :n] = True
+
+    with torch.no_grad():
+        velocity_ref, _cap_mask, cap_feats_ref = ref(
+            latents=torch.from_numpy(latents),
+            caption_features=torch.from_numpy(captions),
+            timestep=torch.from_numpy(t),
+            caption_mask=torch.from_numpy(mask),
+        )
+        expected = np.stack([v.numpy() for v in velocity_ref.unbind(0)])
+
+    got, _mask, refined = ours(
+        params,
+        jnp.asarray(latents.transpose(0, 2, 3, 1)),
+        jnp.asarray(captions),
+        jnp.asarray(t),
+        jnp.asarray(mask),
+    )
+    got_nchw = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_nchw, expected, atol=5e-4, rtol=5e-4)
+
+    # caption features parity on valid positions (for the cache path)
+    cap_ref = cap_feats_ref.numpy()
+    ours_cap = np.asarray(refined)
+    for i, n in enumerate(cap_lens):
+        np.testing.assert_allclose(
+            ours_cap[i, :n], cap_ref[i, :n], atol=5e-4, rtol=5e-4
+        )
+
+    # cached path reproduces the same output
+    got2, _, _ = ours(
+        params,
+        jnp.asarray(latents.transpose(0, 2, 3, 1)),
+        jnp.asarray(captions),
+        jnp.asarray(t),
+        jnp.asarray(mask),
+        cached_caption_features=refined,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got), atol=1e-5)
+
+
+def test_scheduler_matches_reference():
+    ref_sched = import_reference("src.models.lumina2.scheduler").Scheduler()
+    ours = Scheduler()
+    for n in (4, 25):
+        np.testing.assert_allclose(ours.get_timesteps(n), ref_sched.get_timesteps(n), rtol=1e-6)
+        np.testing.assert_allclose(ours.get_sigmas(n), ref_sched.get_sigmas(n), rtol=1e-6)
+
+
+def test_gemma2_parity_vs_transformers():
+    import torch
+    from transformers import Gemma2Config as HFConfig
+    from transformers.models.gemma2.modeling_gemma2 import Gemma2Model as HFModel
+
+    from vision_ft_tpu.models.text_encoders.gemma2 import Gemma2Config, Gemma2Model
+
+    small = dict(
+        vocab_size=256, hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+    )
+    torch.manual_seed(0)
+    hf = HFModel(
+        HFConfig(**small, attn_logit_softcapping=50.0, query_pre_attn_scalar=16,
+                 hidden_activation="gelu_pytorch_tanh", sliding_window=4096)
+    ).eval()
+    ours = Gemma2Model(Gemma2Config(**small, query_pre_attn_scalar=16.0))
+    flat = {k: jnp.asarray(v.detach().numpy()) for k, v in hf.state_dict().items()}
+    assert set(flat.keys()) == set(
+        flatten_params(ours.init(jax.random.PRNGKey(0))).keys()
+    )
+    params = unflatten_params(flat)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    mask[1, 7:] = 0
+    with torch.no_grad():
+        out = hf(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            output_hidden_states=True,
+        )
+        expected_final = out.last_hidden_state.numpy()
+        expected_penult = out.hidden_states[-2].numpy()
+    final, penult = ours(params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(final)[0], expected_final[0], atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(penult)[0], expected_penult[0], atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(penult)[1, :7], expected_penult[1, :7], atol=3e-4, rtol=3e-4
+    )
+
+
+def test_generate_end_to_end(tmp_path):
+    from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
+    from vision_ft_tpu.models.lumina2.pipeline import Lumina2
+    from vision_ft_tpu.models.text_encoders.gemma2 import Gemma2Config
+
+    class Tok:
+        def __call__(self, prompts, max_length=None, **kw):
+            ids, mask = [], []
+            for p in prompts:
+                t = [3 + (hash(w) % 250) for w in p.split()][:max_length]
+                pad = max_length - len(t)
+                ids.append(t + [0] * pad)
+                mask.append([1] * len(t) + [0] * pad)
+            return {"input_ids": ids, "attention_mask": mask}
+
+    config = Lumina2Config(
+        checkpoint_path="unused", dtype="float32",
+        denoiser=DenoiserConfig(**dict(TINY, caption_dim=32)),
+    )
+    text_cfg = Gemma2Config(
+        vocab_size=256, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        query_pre_attn_scalar=16.0,
+    )
+    vae_cfg = AutoencoderKLConfig(
+        block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4,
+        use_quant_conv=False, scaling_factor=0.3611, shift_factor=0.1159,
+    )
+    model = Lumina2(config, tokenizer=Tok(), vae_config=vae_cfg, text_encoder_config=text_cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    images = model.generate(
+        "a cat sitting", width=32, height=32, num_inference_steps=3,
+        cfg_scale=4.0, renorm_cfg_scale=1.0, cfg_truncation_ratio=0.4,
+        max_token_length=8, seed=1,
+    )
+    assert len(images) == 1 and images[0].size == (32, 32)
+
+    # original-key state dict round trip
+    sd = model.state_dict()
+    assert any(k.startswith("model.diffusion_model.") for k in sd)
+    assert any(k.startswith("text_encoders.gemma2_2b.transformer.") for k in sd)
+    from vision_ft_tpu.utils import safetensors as st
+
+    path = str(tmp_path / "lumina2.safetensors")
+    st.save_file(sd, path)
+    model2 = Lumina2(
+        Lumina2Config(checkpoint_path=path, dtype="float32",
+                      denoiser=DenoiserConfig(**dict(TINY, caption_dim=32))),
+        tokenizer=Tok(), vae_config=vae_cfg, text_encoder_config=text_cfg,
+    )
+    model2._from_checkpoint()
+    images2 = model2.generate(
+        "a cat sitting", width=32, height=32, num_inference_steps=3,
+        cfg_scale=4.0, renorm_cfg_scale=1.0, cfg_truncation_ratio=0.4,
+        max_token_length=8, seed=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(images2[0], np.float32), np.asarray(images[0], np.float32), atol=1
+    )

@@ -44,11 +44,15 @@ class AutoencoderKLConfig:
     compression_ratio: int = 8
     scaling_factor: float = 0.13025
     shift_factor: float = 0.0
+    # Flux/Lumina2 VAE has no quant convs (use_quant_conv: false in its
+    # diffusers config, reference lumina2/vae.py:36-37)
+    use_quant_conv: bool = True
 
 
 # Flux/Lumina2 share a 16-channel VAE (reference lumina2/vae.py:47-51)
 FLUX_VAE_CONFIG = AutoencoderKLConfig(
-    latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159
+    latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159,
+    use_quant_conv=False,
 )
 SDXL_VAE_CONFIG = AutoencoderKLConfig()
 
@@ -269,25 +273,33 @@ class AutoencoderKL(Module):
         self.encoder = Encoder(config)
         self.decoder = Decoder(config)
         c = config.latent_channels
-        self.quant_conv = Conv2d(2 * c, 2 * c, 1)
-        self.post_quant_conv = Conv2d(c, c, 1)
+        if config.use_quant_conv:
+            self.quant_conv = Conv2d(2 * c, 2 * c, 1)
+            self.post_quant_conv = Conv2d(c, c, 1)
+        else:
+            self.quant_conv = None
+            self.post_quant_conv = None
 
     def init(self, key, dtype=jnp.float32):
         keys = split_keys(key, ["encoder", "decoder", "quant", "post_quant"])
-        return {
+        params = {
             "encoder": self.encoder.init(keys["encoder"], dtype),
             "decoder": self.decoder.init(keys["decoder"], dtype),
-            "quant_conv": self.quant_conv.init(keys["quant"], dtype),
-            "post_quant_conv": self.post_quant_conv.init(keys["post_quant"], dtype),
         }
+        if self.quant_conv is not None:
+            params["quant_conv"] = self.quant_conv.init(keys["quant"], dtype)
+            params["post_quant_conv"] = self.post_quant_conv.init(keys["post_quant"], dtype)
+        return params
 
     def encode(self, params, x: jax.Array) -> DiagonalGaussian:
         moments = self.encoder(params["encoder"], x)
-        moments = self.quant_conv(params["quant_conv"], moments)
+        if self.quant_conv is not None:
+            moments = self.quant_conv(params["quant_conv"], moments)
         return DiagonalGaussian(moments)
 
     def decode(self, params, z: jax.Array) -> jax.Array:
-        z = self.post_quant_conv(params["post_quant_conv"], z)
+        if self.post_quant_conv is not None:
+            z = self.post_quant_conv(params["post_quant_conv"], z)
         return self.decoder(params["decoder"], z)
 
     def tiled_decode(

@@ -1,0 +1,414 @@
+"""Lumina2 NextDiT denoiser — TPU-native functional implementation.
+
+Behavioral spec: /root/reference/src/models/lumina2/denoiser.py (1109 LoC,
+torch, NextDiT 2B GQA). From-scratch JAX design with these deltas:
+
+- **Fixed-capacity padded layout instead of nested tensors** (SURVEY.md §7
+  hard part 6): the joint sequence is [caption (L, right-pad-masked),
+  image patches (P)]; the reference packs caption+image contiguously per
+  sample, but with right-padded caption masks the two layouts produce
+  identical outputs at every *valid* position (masked keys are excluded
+  from attention; per-token ops don't mix positions). RoPE ids match the
+  reference exactly: image tokens take axis-0 id = caption_len_i (a traced
+  per-sample scalar -> dynamic gather, static shapes).
+- Complex RoPE becomes the cos/sin pair formulation (even=real, odd=imag),
+  fp32, from per-axis precomputed tables.
+- GQA: fused qkv Linear, k/v repeated to num_heads before the shared
+  attention dispatch; QK-RMSNorm(eps=1e-6).
+- 4-way tanh-gated adaLN (scale/gate x2), sandwich RMSNorms(eps=1e-5);
+  context refiner runs without adaLN.
+- ``norm_final`` exists in the param tree but is NOT applied — faithfully
+  reproducing the reference, whose forward never uses it (denoiser.py:591).
+
+Returns (velocity NHWC, caption_mask, refined_caption_features) so the
+pipeline can cache refined captions across steps (reference :993-1019).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...modules.patch import unpatchify
+from ...modules.timestep.embedding import get_timestep_embedding
+from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
+from ...ops.attention import scaled_dot_product_attention
+from .config import DenoiserConfig
+
+
+def _patchify_nhwc(latent: jax.Array, p: int) -> jax.Array:
+    """(B, H, W, C) -> (B, h*w, p*p*C), (ph, pw, c) feature order
+    (reference denoiser.py:609-632)."""
+    b, height, width, c = latent.shape
+    h, w = height // p, width // p
+    x = latent.reshape(b, h, p, w, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * w, p * p * c)
+
+
+class TimestepEmbedder(ModuleDict):
+    """Sinusoid(256) -> MLP(1024) (reference denoiser.py:22-61)."""
+
+    def __init__(self, hidden_dim: int, time_embed_dim: int):
+        self.time_embed_dim = time_embed_dim
+        super().__init__(
+            {
+                "mlp": ModuleDict(
+                    {
+                        "0": Linear(time_embed_dim, hidden_dim),
+                        "2": Linear(hidden_dim, hidden_dim),
+                    }
+                )
+            }
+        )
+
+    def __call__(self, params, timesteps):
+        emb = get_timestep_embedding(
+            timesteps, self.time_embed_dim, flip_sin_to_cos=True, downscale_freq_shift=0.0
+        )
+        dtype = params["mlp"]["0"]["weight"].dtype
+        h = self["mlp"]["0"](params["mlp"]["0"], emb.astype(dtype))
+        return self["mlp"]["2"](params["mlp"]["2"], jax.nn.silu(h))
+
+
+def _apply_rope_complex(x: jax.Array, freqs: jax.Array) -> jax.Array:
+    """x: (B, H, S, D); freqs: (B, S, D/2, 2) cos/sin. Complex multiply on
+    (even, odd) pairs, fp32 (reference apply_rope, denoiser.py:103-113)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    cos = freqs[..., 0][:, None]  # (B, 1, S, D/2)
+    sin = freqs[..., 1][:, None]
+    even = xf[..., 0::2]
+    odd = xf[..., 1::2]
+    rotated = jnp.stack(
+        [even * cos - odd * sin, even * sin + odd * cos], axis=-1
+    ).reshape(xf.shape)
+    return rotated.astype(dtype)
+
+
+class SelfAttention(ModuleDict):
+    """GQA with fused qkv and QK-RMSNorm (reference denoiser.py:66-172)."""
+
+    def __init__(self, hidden_dim: int, num_heads: int, num_kv_heads: int):
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = hidden_dim // num_heads
+        self.num_repeats = num_heads // num_kv_heads
+        total = (num_heads + 2 * num_kv_heads) * self.head_dim
+        super().__init__(
+            {
+                "qkv": Linear(hidden_dim, total, bias=False),
+                "out": Linear(num_heads * self.head_dim, hidden_dim, bias=False),
+                "q_norm": RMSNorm(self.head_dim, eps=1e-6),
+                "k_norm": RMSNorm(self.head_dim, eps=1e-6),
+            }
+        )
+
+    def __call__(self, params, x, freqs, mask=None):
+        b, s, _ = x.shape
+        h, kv, d = self.num_heads, self.num_kv_heads, self.head_dim
+        qkv = self["qkv"](params["qkv"], x)
+        q, k, v = jnp.split(qkv, [h * d, (h + kv) * d], axis=-1)
+        q = q.reshape(b, s, h, d)
+        k = k.reshape(b, s, kv, d)
+        v = v.reshape(b, s, kv, d)
+        q = self["q_norm"](params["q_norm"], q)
+        k = self["k_norm"](params["k_norm"], k)
+        # to (B, H, S, D) and rope
+        q = _apply_rope_complex(q.transpose(0, 2, 1, 3), freqs)
+        k = _apply_rope_complex(k.transpose(0, 2, 1, 3), freqs)
+        v = v.transpose(0, 2, 1, 3)
+        k = jnp.repeat(k, self.num_repeats, axis=1)
+        v = jnp.repeat(v, self.num_repeats, axis=1)
+        attn_mask = None
+        if mask is not None:
+            attn_mask = mask.astype(bool)[:, None, None, :]
+        attn = scaled_dot_product_attention(
+            q, k, v, mask=attn_mask, scale=math.sqrt(1 / d), backend="flash"
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return self["out"](params["out"], attn)
+
+
+class FeedForward(ModuleDict):
+    """SwiGLU with multiple_of rounding (reference denoiser.py:175-220)."""
+
+    def __init__(self, hidden_dim: int, intermediate_dim: int, multiple_of: int = 256):
+        inter = multiple_of * ((intermediate_dim + multiple_of - 1) // multiple_of)
+        super().__init__(
+            {
+                "w1": Linear(hidden_dim, inter, bias=False),
+                "w2": Linear(inter, hidden_dim, bias=False),
+                "w3": Linear(hidden_dim, inter, bias=False),
+            }
+        )
+
+    def __call__(self, params, x):
+        gate = self["w3"](params["w3"], x)
+        h = jax.nn.silu(self["w1"](params["w1"], x)) * gate
+        return self["w2"](params["w2"], h)
+
+
+class TransformerBlock(ModuleDict):
+    """Sandwich-norm block, optional 4-way tanh-gated adaLN
+    (reference denoiser.py:223-363)."""
+
+    def __init__(
+        self,
+        hidden_dim: int,
+        num_heads: int,
+        num_kv_heads: int,
+        multiple_of: int = 256,
+        norm_eps: float = 1e-5,
+        use_adaln: bool = True,
+    ):
+        self.use_adaln = use_adaln
+        children = {
+            "attention": SelfAttention(hidden_dim, num_heads, num_kv_heads),
+            "feed_forward": FeedForward(hidden_dim, hidden_dim * 4, multiple_of),
+            "attention_norm1": RMSNorm(hidden_dim, eps=norm_eps),
+            "ffn_norm1": RMSNorm(hidden_dim, eps=norm_eps),
+            "attention_norm2": RMSNorm(hidden_dim, eps=norm_eps),
+            "ffn_norm2": RMSNorm(hidden_dim, eps=norm_eps),
+        }
+        if use_adaln:
+            children["adaLN_modulation"] = ModuleDict(
+                {"1": Linear(1024, 4 * hidden_dim)}
+            )
+        super().__init__(children)
+
+    @staticmethod
+    def modulate(x, scale):
+        return x * (1 + scale[:, None, :])
+
+    def __call__(self, params, x, freqs, adaln_input=None, mask=None):
+        if self.use_adaln:
+            assert adaln_input is not None
+            mod = self["adaLN_modulation"]["1"](
+                params["adaLN_modulation"]["1"], jax.nn.silu(adaln_input)
+            )
+            scale_attn, gate_attn, scale_mlp, gate_mlp = jnp.split(mod, 4, axis=-1)
+
+            attn = self["attention_norm1"](params["attention_norm1"], x)
+            attn = self["attention"](
+                params["attention"], self.modulate(attn, scale_attn), freqs, mask
+            )
+            attn = self["attention_norm2"](params["attention_norm2"], attn)
+            x = x + jnp.tanh(gate_attn)[:, None, :] * attn
+
+            mlp = self["ffn_norm1"](params["ffn_norm1"], x)
+            mlp = self["feed_forward"](params["feed_forward"], self.modulate(mlp, scale_mlp))
+            mlp = self["ffn_norm2"](params["ffn_norm2"], mlp)
+            return x + jnp.tanh(gate_mlp)[:, None, :] * mlp
+
+        residual = x
+        h = self["attention_norm1"](params["attention_norm1"], x)
+        h = self["attention"](params["attention"], h, freqs, mask)
+        h = self["attention_norm2"](params["attention_norm2"], h)
+        x = residual + h
+        residual = x
+        h = self["ffn_norm1"](params["ffn_norm1"], x)
+        h = self["feed_forward"](params["feed_forward"], h)
+        h = self["ffn_norm2"](params["ffn_norm2"], h)
+        return residual + h
+
+
+class FinalLayer(ModuleDict):
+    """fp32 LN (no affine) + adaLN scale + linear (reference :365-431)."""
+
+    def __init__(self, hidden_dim: int, patch_size: int, out_channels: int):
+        self.norm = LayerNorm(hidden_dim, eps=1e-6, elementwise_affine=False)
+        super().__init__(
+            {
+                "linear": Linear(hidden_dim, patch_size * patch_size * out_channels),
+                "adaLN_modulation": ModuleDict({"1": Linear(1024, hidden_dim)}),
+            }
+        )
+
+    def __call__(self, params, x, adaln_input):
+        scale = self["adaLN_modulation"]["1"](
+            params["adaLN_modulation"]["1"], jax.nn.silu(adaln_input)
+        )
+        x = self.norm({}, x)
+        x = x * (1 + scale[:, None, :])
+        return self["linear"](params["linear"], x)
+
+
+class NextDiT(Module):
+    def __init__(self, config: DenoiserConfig):
+        self.config = config
+        hd = config.hidden_dim
+        self.patch_size = config.patch_size
+        self.out_channels = config.in_channels
+        self.gradient_checkpointing = False
+
+        self.x_embedder = Linear(config.patch_size**2 * config.in_channels, hd)
+        self.noise_refiner = [
+            TransformerBlock(hd, config.num_heads, config.num_kv_heads,
+                             config.multiple_of, config.norm_eps)
+            for _ in range(config.refiner_depth)
+        ]
+        self.context_refiner = [
+            TransformerBlock(hd, config.num_heads, config.num_kv_heads,
+                             config.multiple_of, config.norm_eps, use_adaln=False)
+            for _ in range(config.refiner_depth)
+        ]
+        self.t_embedder = TimestepEmbedder(1024, config.timestep_embed_dim)
+        self.cap_norm = RMSNorm(config.caption_dim, eps=config.norm_eps)
+        self.cap_linear = Linear(config.caption_dim, hd)
+        self.layers = [
+            TransformerBlock(hd, config.num_heads, config.num_kv_heads,
+                             config.multiple_of, config.norm_eps)
+            for _ in range(config.depth)
+        ]
+        self.norm_final = RMSNorm(hd, eps=config.norm_eps)  # unused in forward
+        self.final_layer = FinalLayer(hd, config.patch_size, self.out_channels)
+
+        # static per-axis RoPE tables: (axes_len, d/2, 2) cos/sin
+        self._rope_tables = [
+            self._precompute_axis(d, e, config.theta)
+            for d, e in zip(config.axes_dims, config.axes_lens)
+        ]
+
+    @staticmethod
+    def _precompute_axis(dim: int, end: int, theta: float) -> np.ndarray:
+        freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        angles = np.outer(np.arange(end, dtype=np.float64), freqs)
+        return np.stack([np.cos(angles), np.sin(angles)], axis=-1).astype(np.float32)
+
+    def init(self, key, dtype=jnp.float32):
+        keys = split_keys(
+            key,
+            ["x", "noise", "context", "t", "cap0", "cap1", "layers", "normf", "final"],
+        )
+        def stack(blocks, k):
+            ks = jax.random.split(k, max(len(blocks), 1))
+            return {str(i): b.init(kk, dtype) for i, (b, kk) in enumerate(zip(blocks, ks))}
+
+        return {
+            "x_embedder": self.x_embedder.init(keys["x"], dtype),
+            "noise_refiner": stack(self.noise_refiner, keys["noise"]),
+            "context_refiner": stack(self.context_refiner, keys["context"]),
+            "t_embedder": self.t_embedder.init(keys["t"], dtype),
+            "cap_embedder": {
+                "0": self.cap_norm.init(keys["cap0"], dtype),
+                "1": self.cap_linear.init(keys["cap1"], dtype),
+            },
+            "layers": stack(self.layers, keys["layers"]),
+            "norm_final": self.norm_final.init(keys["normf"], dtype),
+            "final_layer": self.final_layer.init(keys["final"], dtype),
+        }
+
+    def set_gradient_checkpointing(self, value: bool):
+        self.gradient_checkpointing = value
+
+    # -- RoPE frequency assembly ------------------------------------------------
+
+    def _caption_freqs(self, cap_len: int) -> jax.Array:
+        """(L, D/2, 2): axis0 ids = arange(L), axes 1/2 = 0. Static."""
+        t0, t1, t2 = self._rope_tables
+        parts = [
+            t0[np.arange(cap_len) % t0.shape[0]],
+            np.broadcast_to(t1[0], (cap_len,) + t1.shape[1:]),
+            np.broadcast_to(t2[0], (cap_len,) + t2.shape[1:]),
+        ]
+        return jnp.asarray(np.concatenate(parts, axis=1))
+
+    def _image_freqs(self, caption_lens: jax.Array, h: int, w: int) -> jax.Array:
+        """(B, P, D/2, 2): axis0 id = caption_len per sample (traced gather),
+        y/x grids static."""
+        t0 = jnp.asarray(self._rope_tables[0])
+        t1, t2 = self._rope_tables[1], self._rope_tables[2]
+        p = h * w
+        # axis0: gather per-sample
+        f0 = t0[caption_lens]  # (B, d0/2, 2)
+        f0 = jnp.broadcast_to(f0[:, None], (f0.shape[0], p) + f0.shape[1:])
+        y = np.repeat(np.arange(h), w)
+        x = np.tile(np.arange(w), h)
+        f1 = jnp.asarray(t1[y])  # (P, d1/2, 2)
+        f2 = jnp.asarray(t2[x])
+        b = caption_lens.shape[0]
+        f1 = jnp.broadcast_to(f1[None], (b,) + f1.shape)
+        f2 = jnp.broadcast_to(f2[None], (b,) + f2.shape)
+        return jnp.concatenate([f0, f1, f2], axis=2)
+
+    # -- forward -------------------------------------------------------------------
+
+    def __call__(
+        self,
+        params,
+        latents: jax.Array,  # (B, H, W, C) NHWC
+        caption_features: jax.Array,  # (B, L, caption_dim)
+        timestep: jax.Array,  # (B,)
+        caption_mask: jax.Array,  # (B, L) bool/int, right-padded
+        cached_caption_features: Optional[jax.Array] = None,
+    ):
+        b, height, width, _ = latents.shape
+        p = self.patch_size
+        hp, wp = height // p, width // p
+        num_patches = hp * wp
+        cap_len = caption_features.shape[1]
+        caption_mask = caption_mask.astype(bool)
+        caption_lens = jnp.sum(caption_mask.astype(jnp.int32), axis=1)  # (B,)
+
+        # 1. timestep embedding (adaLN input, 1024-d)
+        t_emb = self.t_embedder(params["t_embedder"], timestep)
+
+        # 2. RoPE freqs
+        cap_freqs_single = self._caption_freqs(cap_len)
+        cap_freqs = jnp.broadcast_to(
+            cap_freqs_single[None], (b,) + cap_freqs_single.shape
+        )
+        img_freqs = self._image_freqs(caption_lens, hp, wp)
+        joint_freqs = jnp.concatenate([cap_freqs, img_freqs], axis=1)
+
+        # 3. refine caption features (skipped when cached)
+        if cached_caption_features is not None:
+            caption_tokens = cached_caption_features
+        else:
+            normed = self.cap_norm(params["cap_embedder"]["0"], caption_features)
+            caption_tokens = self.cap_linear(params["cap_embedder"]["1"], normed)
+            for i, layer in enumerate(self.context_refiner):
+                fn = lambda pp, c: layer(pp, c, cap_freqs, mask=caption_mask)
+                if self.gradient_checkpointing:
+                    fn = jax.checkpoint(fn)
+                caption_tokens = fn(params["context_refiner"][str(i)], caption_tokens)
+
+        # 4. refine image features
+        patches = _patchify_nhwc(latents, p)
+        image_tokens = self.x_embedder(params["x_embedder"], patches)
+        image_mask = jnp.ones((b, num_patches), bool)
+        for i, layer in enumerate(self.noise_refiner):
+            fn = lambda pp, x: layer(pp, x, img_freqs, t_emb, image_mask)
+            if self.gradient_checkpointing:
+                fn = jax.checkpoint(fn)
+            image_tokens = fn(params["noise_refiner"][str(i)], image_tokens)
+
+        # 5. joint sequence [caption | image] with padding holes masked
+        #    (packed vs holey layouts are equivalent at valid positions)
+        context = jnp.concatenate([caption_tokens, image_tokens], axis=1)
+        joint_mask = jnp.concatenate([caption_mask, image_mask], axis=1)
+
+        # 6. main layers
+        for i, layer in enumerate(self.layers):
+            fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
+            if self.gradient_checkpointing:
+                fn = jax.checkpoint(fn)
+            context = fn(params["layers"][str(i)], context)
+
+        # 7. final layer + take image positions (static slice)
+        context = self.final_layer(params["final_layer"], context, t_emb)
+        image_out = context[:, cap_len:]
+
+        # 8. unpatchify
+        velocity = unpatchify(image_out, hp, wp, p, self.out_channels)
+        return velocity, caption_mask, caption_tokens
+
+
+class Denoiser(NextDiT):
+    def __init__(self, config: DenoiserConfig):
+        super().__init__(config)

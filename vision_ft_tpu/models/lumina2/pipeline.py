@@ -1,0 +1,262 @@
+"""Lumina2 pipeline: checkpoint I/O + generate() with renorm CFG,
+CFG-truncation and refined-caption-feature caching.
+
+Behavioral spec: /root/reference/src/models/lumina2/pipeline.py. TPU
+deltas: one latent resolution per generate() call (the reference's
+nested-tensor multi-resolution batches become per-resolution calls —
+aspect-ratio buckets give one resolution per batch anyway); jitted CFG
+step per shape; NHWC latents; refined caption features cached across the
+loop exactly like the reference (:379-415).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ...nn import flatten_params, unflatten_params
+from ...utils import safetensors as st
+from ...utils import tensor as tensor_utils
+from ..autoencoder import AutoencoderKL
+from .config import Lumina2Config
+from .denoiser import Denoiser
+from .scheduler import Scheduler
+from .text_encoder import DEFAULT_MAX_TOKEN_LENGTH, TextEncoder
+from .util import convert_from_original_key, convert_to_original_key
+from .vae import DEFAULT_VAE_CONFIG
+
+
+def _str_to_dtype(name: str):
+    return {
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float16": jnp.float16, "fp16": jnp.float16,
+        "float32": jnp.float32, "fp32": jnp.float32,
+    }[name]
+
+
+class Lumina2:
+    denoiser_class: type[Denoiser] = Denoiser
+
+    def __init__(
+        self,
+        config: Lumina2Config,
+        tokenizer=None,
+        vae_config=None,
+        text_encoder_config=None,
+    ):
+        self.config = config
+        self.dtype = _str_to_dtype(config.dtype)
+        self.denoiser = self.denoiser_class(config.denoiser)
+        self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
+        self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
+        self.scheduler = Scheduler()
+        self.params: dict = {}
+        self._jit_steps: dict = {}
+
+    @classmethod
+    def from_config(cls, config: Lumina2Config, **kwargs) -> "Lumina2":
+        return cls(config, **kwargs)
+
+    # -- checkpoint I/O ------------------------------------------------------------
+
+    def load_state_dict(self, flat: dict[str, jax.Array]) -> None:
+        self.params = {
+            root: unflatten_params(
+                {k[len(root) + 1 :]: v for k, v in flat.items() if k.startswith(f"{root}.")}
+            )
+            for root in ("denoiser", "vae", "text_encoder")
+        }
+
+    def _from_checkpoint(self) -> None:
+        state_dict = st.load_file(self.config.checkpoint_path, dtype=self.dtype)
+        state_dict = {convert_from_original_key(k): v for k, v in state_dict.items()}
+        self.load_state_dict(state_dict)
+
+    @classmethod
+    def from_checkpoint(cls, config: Lumina2Config, tokenizer=None) -> "Lumina2":
+        model = cls(config, tokenizer=tokenizer)
+        model._from_checkpoint()
+        return model
+
+    def init_params(self, key: jax.Array, dtype=None) -> None:
+        dtype = dtype or self.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.params = {
+            "denoiser": self.denoiser.init(k1, dtype),
+            "vae": self.vae.init(k2, dtype),
+            "text_encoder": self.text_encoder.init(k3, dtype),
+        }
+
+    def state_dict(self) -> dict[str, jax.Array]:
+        flat = {}
+        for root in ("denoiser", "vae", "text_encoder"):
+            flat.update(
+                {f"{root}.{k}": v for k, v in flatten_params(self.params[root]).items()}
+            )
+        return {convert_to_original_key(k): v for k, v in flat.items()}
+
+    # -- latents / images --------------------------------------------------------------
+
+    def prepare_latents(
+        self, batch_size: int, height: int, width: int, seed: Optional[int] = None
+    ) -> jax.Array:
+        ratio = int(self.vae.compression_ratio)
+        shape = (
+            batch_size,
+            height // ratio,
+            width // ratio,
+            self.denoiser.config.in_channels,
+        )
+        return tensor_utils.incremental_seed_randn(shape, seed, dtype=self.dtype)
+
+    def encode_image(self, image, key: Optional[jax.Array] = None) -> jax.Array:
+        if isinstance(image, Image.Image):
+            image = tensor_utils.images_to_tensor([image], self.dtype)
+        elif isinstance(image, (list, tuple)):
+            image = tensor_utils.images_to_tensor(list(image), self.dtype)
+        dist = self.vae.encode(self.params["vae"], image.astype(self.dtype))
+        z = dist.sample(key) if key is not None else dist.mode()
+        return (z - self.vae.shift_factor) * self.vae.scaling_factor
+
+    def decode_image(self, latents: jax.Array) -> list[Image.Image]:
+        z = latents / self.vae.scaling_factor + self.vae.shift_factor
+        return tensor_utils.tensor_to_images(self.vae.decode(self.params["vae"], z))
+
+    # -- compiled CFG step ------------------------------------------------------------
+
+    def _denoise_step(
+        self,
+        params,
+        latents,
+        timestep,
+        sigma,
+        next_sigma,
+        caption_features,
+        caption_mask,
+        cached_features,
+        cfg_scale,
+        renorm_cfg_scale,
+        do_cfg: bool,
+        use_cache: bool,
+    ):
+        batch = latents.shape[0]
+        latents_input = jnp.concatenate([latents, latents]) if do_cfg else latents
+        t = jnp.broadcast_to(timestep, (latents_input.shape[0],))
+        velocity, _mask, refined = self.denoiser(
+            params,
+            latents_input,
+            caption_features,
+            t,
+            caption_mask,
+            cached_caption_features=cached_features if use_cache else None,
+        )
+        if do_cfg:
+            positive, negative = velocity[:batch], velocity[batch:]
+            new_velocity = negative + cfg_scale * (positive - negative)
+            # renorm CFG (reference pipeline.py:287-307). The reference
+            # norms over the torch tensor's last axis (W of CHW); in NHWC
+            # that is axis 2.
+            positive_norm = jnp.linalg.norm(
+                positive.astype(jnp.float32), axis=2, keepdims=True
+            )
+            new_norm = jnp.linalg.norm(
+                new_velocity.astype(jnp.float32), axis=2, keepdims=True
+            )
+            scale = jnp.where(
+                renorm_cfg_scale > 0.0,
+                positive_norm * renorm_cfg_scale / jnp.maximum(new_norm, 1e-12),
+                1.0,
+            ).astype(new_velocity.dtype)
+            velocity = new_velocity * scale
+        new_latents = latents.astype(jnp.float32) + velocity.astype(jnp.float32) * (
+            sigma - next_sigma
+        )
+        return new_latents.astype(latents.dtype), refined
+
+    def _get_jit_step(self, do_cfg: bool, use_cache: bool):
+        key = (do_cfg, use_cache)
+        if key not in self._jit_steps:
+            self._jit_steps[key] = jax.jit(
+                partial(self._denoise_step, do_cfg=do_cfg, use_cache=use_cache)
+            )
+        return self._jit_steps[key]
+
+    # -- generate --------------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt,
+        negative_prompt=None,
+        width: int = 768,
+        height: int = 768,
+        num_inference_steps: int = 25,
+        cfg_scale: float = 5.0,
+        renorm_cfg_scale: float = 1.0,
+        cfg_truncation_ratio: float = 0.0,
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        seed: Optional[int] = None,
+        do_offloading: bool = False,
+    ) -> list[Image.Image]:
+        do_cfg = cfg_scale > 1.0
+        timesteps = self.scheduler.get_timesteps(num_inference_steps)
+        sigmas = self.scheduler.get_sigmas(num_inference_steps)
+        prompts = list(prompt) if isinstance(prompt, (list, tuple)) else [prompt]
+        batch_size = len(prompts)
+
+        encoder_output = self.text_encoder.encode_prompts(
+            self.params["text_encoder"],
+            prompts,
+            negative_prompt,
+            use_negative_prompts=do_cfg,
+            max_token_length=max_token_length,
+        )
+
+        latents = self.prepare_latents(batch_size, height, width, seed=seed)
+
+        cached_features = None
+        cached_was_cfg = None
+        for i, t in enumerate(timesteps):
+            current_step_ratio = (i + 1) / num_inference_steps
+            do_cfg_step = do_cfg and current_step_ratio > cfg_truncation_ratio
+
+            if do_cfg_step:
+                caption_features = jnp.concatenate(
+                    [encoder_output.positive_embeddings, encoder_output.negative_embeddings]
+                ).astype(self.dtype)
+                caption_mask = jnp.concatenate(
+                    [
+                        encoder_output.positive_attention_mask,
+                        encoder_output.negative_attention_mask,
+                    ]
+                )
+            else:
+                caption_features = encoder_output.positive_embeddings.astype(self.dtype)
+                caption_mask = encoder_output.positive_attention_mask
+
+            # drop the cache when the CFG batch size changes (reference :379-415)
+            if cached_was_cfg is not None and cached_was_cfg != do_cfg_step:
+                cached_features = None
+            use_cache = cached_features is not None
+
+            step = self._get_jit_step(do_cfg_step, use_cache)
+            latents, refined = step(
+                self.params["denoiser"],
+                latents,
+                jnp.float32(t),
+                jnp.float32(sigmas[i]),
+                jnp.float32(sigmas[i + 1]),
+                caption_features,
+                caption_mask,
+                cached_features if use_cache else caption_features,  # placeholder arg
+                jnp.float32(cfg_scale),
+                jnp.float32(renorm_cfg_scale),
+            )
+            cached_features = refined
+            cached_was_cfg = do_cfg_step
+
+        return self.decode_image(latents)

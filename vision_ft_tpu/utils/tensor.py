@@ -49,6 +49,7 @@ def images_to_tensor(images: list[Image.Image], dtype=jnp.float32) -> jax.Array:
 def tensor_to_images(tensor: jax.Array) -> list[Image.Image]:
     """NHWC float in [-1, 1] -> PIL images."""
     arr = np.asarray(jnp.clip(tensor, -1.0, 1.0).astype(jnp.float32))
+    arr = np.nan_to_num(arr)  # NaN-safe (random-init tests; never silently wrap)
     arr = ((arr + 1.0) / 2.0 * 255.0).astype(np.uint8)
     return [Image.fromarray(im) for im in arr]
 
