@@ -1,0 +1,142 @@
+"""Quantization: NF4/FP4 pack-dequant round trips in the bnb on-disk
+format, prequantized checkpoint loading, fp8/int8 paths, QLoRA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_ft_tpu.nn import Linear, ModuleDict, flatten_params, unflatten_params
+from vision_ft_tpu.modules.quant import (
+    convert_prequantized_state_dict,
+    dequantize_weight,
+    get_quant_type_from_children_dict,
+    quantize_4bit,
+    quantize_params,
+    quantize_state_dict,
+    quantize_weight,
+)
+from vision_ft_tpu.modules.quant.nf4 import (
+    DYNAMIC_MAP,
+    NF4_CODE,
+    dequantize_4bit,
+    parse_quant_state,
+)
+
+
+def test_nf4_codebook_properties():
+    assert NF4_CODE.shape == (16,)
+    assert NF4_CODE[0] == -1.0 and NF4_CODE[-1] == 1.0 and NF4_CODE[7] == 0.0
+    assert (np.diff(NF4_CODE) > 0).all()
+    assert DYNAMIC_MAP.shape == (256,)
+    assert (np.diff(DYNAMIC_MAP) >= 0).all()
+    # bnb's map appends +1.0 but not -1.0: min is the largest negative code
+    assert DYNAMIC_MAP[-1] == 1.0 and -1.0 < DYNAMIC_MAP[0] < -0.99
+
+
+def test_nf4_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 128)).astype(np.float32) * 0.02
+    packed, state = quantize_4bit(w, "nf4")
+    assert packed.dtype == np.uint8 and packed.shape == (64 * 128 // 2, 1)
+    parsed = parse_quant_state(state)
+    assert parsed["shape"] == (64, 128) and parsed["blocksize"] == 64
+    deq = np.asarray(
+        dequantize_4bit(jnp.asarray(packed), parsed["code"], parsed["absmax"], (64, 128))
+    )
+    # NF4 relative error for gaussian weights ~ few %
+    rel = np.abs(deq - w).mean() / np.abs(w).mean()
+    assert rel < 0.1
+    # exact re-quantization fixed point
+    packed2, _ = quantize_4bit(deq, "nf4")
+    np.testing.assert_array_equal(packed2, packed)
+
+
+def test_nf4_nested_statistics_roundtrip():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((32, 256)).astype(np.float32)
+    packed_plain, state_plain = quantize_4bit(w, "nf4", compress_statistics=False)
+    packed_nested, state_nested = quantize_4bit(w, "nf4", compress_statistics=True)
+    np.testing.assert_array_equal(packed_plain, packed_nested)
+    assert state_nested["absmax"].dtype == np.uint8
+    a_plain = np.asarray(parse_quant_state(state_plain)["absmax"])
+    a_nested = np.asarray(parse_quant_state(state_nested)["absmax"])
+    np.testing.assert_allclose(a_nested, a_plain, rtol=0.02, atol=1e-4)
+
+
+def test_prequantized_state_dict_load_and_forward():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((32, 64)).astype(np.float32) * 0.05
+    b = rng.standard_normal((32,)).astype(np.float32)
+    sd = {"layer.weight": jnp.asarray(w), "layer.bias": jnp.asarray(b)}
+    qsd = quantize_state_dict(sd, "bnb_nf4", include_keys=["layer"])
+    # bnb on-disk keys present
+    assert "layer.weight.absmax" in qsd
+    assert "layer.weight.quant_map" in qsd
+    assert "layer.weight.quant_state.bitsandbytes__nf4" in qsd
+    assert "layer.weight.nested_absmax" in qsd  # compress_statistics on disk
+    children = {k[len("layer.weight."):]: v for k, v in qsd.items() if k.startswith("layer.weight.")}
+    assert get_quant_type_from_children_dict(children) == "bnb_nf4"
+
+    converted = convert_prequantized_state_dict(qsd)
+    params = unflatten_params(converted)
+    lin = Linear(64, 32)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    y_q = lin(params["layer"], x)
+    y_fp = lin({"weight": jnp.asarray(w), "bias": jnp.asarray(b)}, x)
+    err = float(jnp.abs(y_q - y_fp).max())
+    assert err < 0.2  # nf4 quantization noise, not garbage
+    # also works under jit
+    y_jit = jax.jit(lambda p: lin(p, x))(params["layer"])
+    np.testing.assert_allclose(np.asarray(y_jit), np.asarray(y_q), atol=1e-6)
+
+
+@pytest.mark.parametrize("quant_type", ["fp8_e4m3fn", "bnb_int8", "quanto_int8", "ao_nf4", "bnb_fp4"])
+def test_quantize_params_forward(quant_type):
+    rng = np.random.default_rng(3)
+    model = ModuleDict({"fc": Linear(32, 16)})
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = quantize_params(params, quant_type, include_keys=["fc"])
+    x = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    y_fp = model["fc"](params["fc"], x)
+    y_q = model["fc"](qparams["fc"], x)
+    rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.25, f"{quant_type}: rel={rel}"
+
+
+def test_qlora_on_quantized_base():
+    from vision_ft_tpu.modules.peft import (
+        LoRAConfig,
+        merge_params,
+        replace_to_peft_layer,
+        split_peft_params,
+    )
+
+    model = ModuleDict({"attn": ModuleDict({"to_q": Linear(32, 32)})})
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = quantize_params(params, "bnb_nf4", include_keys=["to_q"])
+    peft_params = replace_to_peft_layer(
+        qparams, ["to_q"], [], LoRAConfig(rank=4, dtype="float32"), jax.random.PRNGKey(1)
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32)), jnp.float32)
+    base_out = model["attn"]["to_q"](qparams["attn"]["to_q"], x)
+    lora_out = model["attn"]["to_q"](peft_params["attn"]["to_q"], x)
+    np.testing.assert_allclose(np.asarray(lora_out), np.asarray(base_out), atol=1e-6)
+
+    trainable, frozen = split_peft_params(peft_params)
+    t_keys = set(flatten_params(trainable))
+    assert t_keys == {"attn.to_q.lora_down.weight", "attn.to_q.lora_up.weight"}
+
+    def loss(tr):
+        merged = merge_params(frozen, tr)
+        return jnp.sum(model["attn"]["to_q"](merged["attn"]["to_q"], x) ** 2)
+
+    grads = jax.jit(jax.grad(loss))(trainable)
+    assert jax.tree.all(jax.tree.map(lambda g: bool(jnp.all(jnp.isfinite(g))), grads))
+
+
+def test_fp4_differs_from_nf4():
+    w = np.linspace(-1, 1, 128, dtype=np.float32).reshape(2, 64)
+    p_nf4, _ = quantize_4bit(w, "nf4")
+    p_fp4, _ = quantize_4bit(w, "fp4")
+    assert not np.array_equal(p_nf4, p_fp4)

@@ -1,0 +1,95 @@
+"""Tools: quantize CLI semantics, inference server HTTP plumbing."""
+
+import json
+import sys
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "/root/repo")
+
+from vision_ft_tpu.modules.quant import quantize_state_dict
+from vision_ft_tpu.utils import safetensors as st
+
+
+def test_quantize_state_dict_respects_targeting(tmp_path):
+    rng = np.random.default_rng(0)
+    sd = {
+        "model.a.weight": jnp.asarray(rng.standard_normal((32, 64)), jnp.float32),
+        "model.t_embedder.weight": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+    }
+    out = quantize_state_dict(sd, "bnb_nf4", ["model."], ["t_embedder"])
+    assert "model.a.weight.absmax" in out
+    assert out["model.a.weight"].dtype == jnp.uint8
+    assert "model.t_embedder.weight.absmax" not in out
+    # safetensors round trip keeps the uint8 payloads
+    path = str(tmp_path / "q.safetensors")
+    st.save_file(out, path)
+    loaded = st.load_file(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["model.a.weight"]), np.asarray(out["model.a.weight"])
+    )
+
+
+class _StubModel:
+    def __init__(self):
+        self.calls = []
+
+    def generate(self, params):
+        self.calls.append(params)
+        return Image.new("RGB", (params.width, params.height), (128, 0, 0))
+
+
+@pytest.fixture
+def server():
+    from tools.inference_server import make_handler
+
+    model = _StubModel()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(model))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd, model
+    httpd.shutdown()
+
+
+def test_inference_server_round_trip(server):
+    httpd, model = server
+    port = httpd.server_address[1]
+    body = json.dumps({"prompt": "a cat", "width": 64, "height": 128}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Type"] == "image/webp"
+        data = resp.read()
+    from io import BytesIO
+
+    img = Image.open(BytesIO(data))
+    assert img.size == (64, 128)
+    assert model.calls[0].prompt == "a cat"
+    assert model.calls[0].cfg_scale == 6.5  # default
+
+    # health endpoint
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as resp:
+        assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_inference_server_validation(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    # width not divisible by 64 -> 422 (reference inference_server.py:27-31)
+    body = json.dumps({"prompt": "x", "width": 100}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as excinfo:
+        urllib.request.urlopen(req)
+    assert excinfo.value.code == 422

@@ -1,0 +1,103 @@
+"""Single-file inference CLI (reference tools/inference_cli.py, click
+instead of fire — fire isn't in this image).
+
+Loads a single-file checkpoint for a model family (auraflow default like
+the reference; sdxl and lumina2 too), optionally quantizes the denoiser,
+generates, saves webp. Tokenizers load from a local directory
+(--tokenizer-path, e.g. a downloaded HF tokenizer folder) since this
+environment has no network.
+"""
+
+from typing import Optional
+
+import click
+
+
+def _load_tokenizer(family: str, tokenizer_path: Optional[str]):
+    if family == "sdxl":
+        from vision_ft_tpu.models.text_encoders.tokenizer import CLIPTokenizer
+
+        if tokenizer_path is None:
+            raise click.ClickException("--tokenizer-path (vocab.json/merges.txt dir) required")
+        return CLIPTokenizer.from_pretrained_dir(tokenizer_path)
+    from transformers import AutoTokenizer
+
+    if tokenizer_path is None:
+        raise click.ClickException("--tokenizer-path (local HF tokenizer dir) required")
+    return AutoTokenizer.from_pretrained(tokenizer_path)
+
+
+def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
+    if family == "auraflow":
+        from vision_ft_tpu.models.auraflow import AuraFlowConig, AuraFlowModel
+
+        config = AuraFlowConig(checkpoint_path=checkpoint_path)
+        model = AuraFlowModel.from_original_checkpoint(config, tokenizer=tokenizer)
+    elif family == "sdxl":
+        from vision_ft_tpu.models.sdxl.config import SDXLConfig
+        from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
+
+        config = SDXLConfig(checkpoint_path=checkpoint_path)
+        model = SDXLModel.from_checkpoint(config, tokenizer=tokenizer)
+    elif family == "lumina2":
+        from vision_ft_tpu.models.lumina2 import Lumina2, Lumina2Config
+
+        config = Lumina2Config(checkpoint_path=checkpoint_path)
+        model = Lumina2.from_checkpoint(config, tokenizer=tokenizer)
+    else:
+        raise click.ClickException(f"Unknown family: {family}")
+
+    if quant_type is not None:
+        from vision_ft_tpu.modules.quant import quantize_params
+
+        click.echo(f"Quantizing denoiser with {quant_type}...")
+        model.params["denoiser"] = quantize_params(
+            model.params["denoiser"],
+            quant_type,
+            include_keys=[""],
+            exclude_keys=["t_embedder", "final_linear", "modF"],
+        )
+    return model
+
+
+@click.command()
+@click.option("--checkpoint-path", type=str, required=True)
+@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2"]), default="auraflow")
+@click.option("--tokenizer-path", type=str, default=None)
+@click.option("--prompt", type=str, default="photo of a cat")
+@click.option("--negative-prompt", type=str, default="blurry, ugly, low quality")
+@click.option("--width", type=int, default=768)
+@click.option("--height", type=int, default=768)
+@click.option("--batch-size", type=int, default=1)
+@click.option("--num-inference-steps", type=int, default=20)
+@click.option("--cfg-scale", type=float, default=5.0)
+@click.option("--seed", type=int, default=42)
+@click.option("--save-path", type=str, default="output.webp")
+@click.option("--quant-type", type=str, default=None)
+def main(
+    checkpoint_path, family, tokenizer_path, prompt, negative_prompt, width, height,
+    batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
+):
+    tokenizer = _load_tokenizer(family, tokenizer_path)
+    click.echo("Loading model...")
+    model = _build_model(family, checkpoint_path, tokenizer, quant_type)
+    click.echo(f"Prompt: {prompt}")
+
+    prompts = [prompt] * batch_size
+    images = model.generate(
+        prompt=prompts,
+        negative_prompt=negative_prompt,
+        width=width,
+        height=height,
+        num_inference_steps=num_inference_steps,
+        cfg_scale=cfg_scale,
+        seed=seed,
+    )
+    for i, image in enumerate(images):
+        path = save_path if len(images) == 1 else save_path.replace(".", f"_{i}.", 1)
+        image.save(path)
+        click.echo(f"Saved {path}")
+
+
+if __name__ == "__main__":
+    main()

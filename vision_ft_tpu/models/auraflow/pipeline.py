@@ -90,6 +90,9 @@ class AuraFlowModel:
                     (vae_convert_from_original_key(k) if k.startswith("vae.") else k): v
                     for k, v in state_dict.items()
                 }
+        from ...modules.quant import convert_prequantized_state_dict
+
+        state_dict = convert_prequantized_state_dict(state_dict)
         self.load_state_dict(state_dict)
 
     @classmethod

@@ -75,6 +75,9 @@ class Lumina2:
     def _from_checkpoint(self) -> None:
         state_dict = st.load_file(self.config.checkpoint_path, dtype=self.dtype)
         state_dict = {convert_from_original_key(k): v for k, v in state_dict.items()}
+        from ...modules.quant import convert_prequantized_state_dict
+
+        state_dict = convert_prequantized_state_dict(state_dict)
         self.load_state_dict(state_dict)
 
     @classmethod

@@ -114,7 +114,7 @@ class CrossAttention(ModuleDict):
             }
         )
 
-    def __call__(self, params, x, context):
+    def __call__(self, params, x, context, **kwargs):
         b, s, _ = x.shape
         sc = context.shape[1]
         h, d = self.num_heads, self.head_dim
@@ -155,7 +155,11 @@ class FeedForward(ModuleDict):
 
 
 class TransformerBlock(ModuleDict):
-    """pre-LN self-attn -> cross-attn -> GeGLU FF with residuals."""
+    """pre-LN self-attn -> cross-attn -> GeGLU FF with residuals.
+
+    ``cross_attention_class`` is pluggable (the functional analogue of the
+    reference's transformer_block_class / attn2 module swap used by
+    adapters, denoiser.py:213-283 + adapter managers)."""
 
     def __init__(
         self,
@@ -164,11 +168,15 @@ class TransformerBlock(ModuleDict):
         head_dim: int,
         context_dim: int,
         backend: AttentionImplementation,
+        cross_attention_class: type = None,
+        cross_attention_extra: dict = None,
     ):
+        cross_cls = cross_attention_class or CrossAttention
+        extra = cross_attention_extra or {}
         super().__init__(
             {
                 "attn1": SelfAttention(num_heads, head_dim, backend),
-                "attn2": CrossAttention(hidden_dim, context_dim, num_heads, head_dim, backend),
+                "attn2": cross_cls(hidden_dim, context_dim, num_heads, head_dim, backend, **extra),
                 "ff": FeedForward(hidden_dim),
                 "norm1": LayerNorm(hidden_dim),
                 "norm2": LayerNorm(hidden_dim),
@@ -176,9 +184,12 @@ class TransformerBlock(ModuleDict):
             }
         )
 
-    def __call__(self, params, x, context):
+    def __call__(self, params, x, context, cross_attention_kwargs=None):
         x = x + self["attn1"](params["attn1"], self["norm1"](params["norm1"], x))
-        x = x + self["attn2"](params["attn2"], self["norm2"](params["norm2"], x), context)
+        x = x + self["attn2"](
+            params["attn2"], self["norm2"](params["norm2"], x), context,
+            **(cross_attention_kwargs or {}),
+        )
         x = x + self["ff"](params["ff"], self["norm3"](params["norm3"], x))
         return x
 
@@ -198,6 +209,8 @@ class SpatialTransformer(ModuleDict):
         num_blocks: int,
         context_dim: int,
         backend: AttentionImplementation,
+        cross_attention_class: type = None,
+        cross_attention_extra: dict = None,
     ):
         inner = num_heads * head_dim
         self.inner_dim = inner
@@ -207,7 +220,10 @@ class SpatialTransformer(ModuleDict):
                 "proj_in": Linear(in_channels, inner),
                 "transformer_blocks": ModuleDict(
                     {
-                        str(i): TransformerBlock(inner, num_heads, head_dim, context_dim, backend)
+                        str(i): TransformerBlock(
+                            inner, num_heads, head_dim, context_dim, backend,
+                            cross_attention_class, cross_attention_extra,
+                        )
                         for i in range(num_blocks)
                     }
                 ),
@@ -215,7 +231,7 @@ class SpatialTransformer(ModuleDict):
             }
         )
 
-    def __call__(self, params, x, context):
+    def __call__(self, params, x, context, cross_attention_kwargs=None):
         b, hh, ww, c = x.shape
         residual = x
         h = self["norm"](params["norm"], x)
@@ -223,7 +239,9 @@ class SpatialTransformer(ModuleDict):
         h = self["proj_in"](params["proj_in"], h)
         blocks = self["transformer_blocks"]
         for i in range(len(blocks.children)):
-            h = blocks[str(i)](params["transformer_blocks"][str(i)], h, context)
+            h = blocks[str(i)](
+                params["transformer_blocks"][str(i)], h, context, cross_attention_kwargs
+            )
         h = self["proj_out"](params["proj_out"], h)
         return h.reshape(b, hh, ww, c) + residual
 
@@ -295,7 +313,8 @@ class Upsample(ModuleDict):
         return self["conv"](params["conv"], x)
 
 
-def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int):
+def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int,
+                       cross_attention_class=None, cross_attention_extra=None):
     """Flat list of layer-lists mirroring reference DownBlocks
     (denoiser.py:613-771): conv stem, resblocks(+transformers),
     downsamples between stages. Returns (ModuleDict tree, structure)."""
@@ -325,6 +344,8 @@ def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int):
                             n_tf,
                             config.context_dim,
                             backend,
+                            cross_attention_class,
+                            cross_attention_extra,
                         ),
                     )
                 )
@@ -336,7 +357,8 @@ def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int):
     return lists
 
 
-def _build_up_blocks(config: DenoiserConfig, time_embed_dim: int):
+def _build_up_blocks(config: DenoiserConfig, time_embed_dim: int,
+                     cross_attention_class=None, cross_attention_extra=None):
     """Mirror of reference UpBlocks (denoiser.py:860-1004): reversed
     channels, layers_per_block+1 resblocks per stage, skip-channel pops,
     trailing Upsample attached to the stage's last layer-list."""
@@ -372,6 +394,8 @@ def _build_up_blocks(config: DenoiserConfig, time_embed_dim: int):
                             n_tf,
                             config.context_dim,
                             backend,
+                            cross_attention_class,
+                            cross_attention_extra,
                         ),
                     )
                 )
@@ -409,6 +433,10 @@ class UNet(Module):
     crop_coords_top_left)`` with latents (B, H, W, C).
     """
 
+    # pluggable cross-attention (adapters override on subclasses)
+    cross_attention_class: type = None
+    cross_attention_extra: dict = None
+
     def __init__(self, config: DenoiserConfig):
         self.config = config
         self.hidden_dim = config.hidden_dim
@@ -422,7 +450,8 @@ class UNet(Module):
         self.label_emb = ModuleDict(
             {"0": MLPEmbedder(config.global_cond_dim, self.time_embed_dim)}
         )
-        self.input_lists = _build_down_blocks(config, self.time_embed_dim)
+        ca_cls, ca_extra = self.cross_attention_class, self.cross_attention_extra
+        self.input_lists = _build_down_blocks(config, self.time_embed_dim, ca_cls, ca_extra)
         mid_ch = config.block_out_channels[-1]
         self.middle_list = [
             ("res", ResidualBlock(mid_ch, self.time_embed_dim, mid_ch)),
@@ -435,11 +464,13 @@ class UNet(Module):
                     config.num_transformers_per_block[-1],
                     config.context_dim,
                     config.attention_backend,
+                    ca_cls,
+                    ca_extra,
                 ),
             ),
             ("res", ResidualBlock(mid_ch, self.time_embed_dim, mid_ch)),
         ]
-        self.output_lists = _build_up_blocks(config, self.time_embed_dim)
+        self.output_lists = _build_up_blocks(config, self.time_embed_dim, ca_cls, ca_extra)
         self.out_norm = GroupNorm(32, config.hidden_dim, eps=1e-5)
         self.out_conv = Conv2d(config.hidden_dim, config.out_channels, 3, padding=1)
 
@@ -501,14 +532,16 @@ class UNet(Module):
 
     # -- forward -----------------------------------------------------------
 
-    def _apply_layer_list(self, layer_list, list_params, x, context, global_cond):
+    def _apply_layer_list(
+        self, layer_list, list_params, x, context, global_cond, cross_attention_kwargs=None
+    ):
         def run(x, list_params, context, global_cond):
             for j, (kind, module) in enumerate(layer_list):
                 p = list_params.get(str(j), {})
                 if kind == "res":
                     x = module(p, x, global_cond)
                 elif kind == "st":
-                    x = module(p, x, context)
+                    x = module(p, x, context, cross_attention_kwargs)
                 else:  # conv / down / up
                     x = module(p, x)
             return x
@@ -527,6 +560,7 @@ class UNet(Module):
         original_size: jax.Array,
         target_size: jax.Array,
         crop_coords_top_left: jax.Array,
+        cross_attention_kwargs: dict = None,
     ) -> jax.Array:
         time_embed, global_cond = self.prepare_global_condition(
             params,
@@ -539,11 +573,19 @@ class UNet(Module):
         )
         context = encoder_hidden_states
 
+        # adapters receive the raw time embedding (adaln_zero/time_gate
+        # variants condition their gates on it; reference denoiser.py:268-274
+        # always threads it and base CrossAttention ignores it)
+        cross_attention_kwargs = dict(cross_attention_kwargs or {})
+        cross_attention_kwargs.setdefault("time_embedding", time_embed)
+
         h = latents
         skips = []
         in_blocks = params["input_blocks"]["blocks"]
         for i, layer_list in enumerate(self.input_lists):
-            h = self._apply_layer_list(layer_list, in_blocks[str(i)], h, context, global_cond)
+            h = self._apply_layer_list(
+                layer_list, in_blocks[str(i)], h, context, global_cond, cross_attention_kwargs
+            )
             skips.append(h)
 
         mid = params["middle_block"]["blocks"]
@@ -553,12 +595,15 @@ class UNet(Module):
             h,
             context,
             global_cond,
+            cross_attention_kwargs,
         )
 
         out_blocks = params["output_blocks"]["blocks"]
         for i, layer_list in enumerate(self.output_lists):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = self._apply_layer_list(layer_list, out_blocks[str(i)], h, context, global_cond)
+            h = self._apply_layer_list(
+                layer_list, out_blocks[str(i)], h, context, global_cond, cross_attention_kwargs
+            )
 
         h = self.out_norm(params["out"]["0"], h)
         h = jax.nn.silu(h)

@@ -120,6 +120,11 @@ class SDXLModel:
             k: (v[:, :, 0, 0] if _VAE_ATTN_WEIGHT.search(k) and v.ndim == 4 else v)
             for k, v in state_dict.items()
         }
+        # prequantized (bnb/quanto) weights -> quant subtrees (reference
+        # pipeline.py:74 replace_by_prequantized_weights)
+        from ...modules.quant import convert_prequantized_state_dict
+
+        state_dict = convert_prequantized_state_dict(state_dict)
         self.load_state_dict(state_dict)
 
     @classmethod

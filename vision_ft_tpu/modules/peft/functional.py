@@ -67,7 +67,27 @@ def find_targetable_paths(params: Params) -> list[str]:
             if leaf in ("lora_down", "lora_up"):
                 continue
             paths.append(path)
+        elif key.endswith(".weight.packed") or key.endswith(".weight.data"):
+            # quantized Linear (QLoRA base): the weight is a quant subtree
+            paths.append(key[: -len(".weight.packed")] if key.endswith(".weight.packed")
+                         else key[: -len(".weight.data")])
     return paths
+
+
+def _quant_shape_stub(flat: dict, target: str):
+    """Shape-only stand-in for a quantized base weight (QLoRA)."""
+    import numpy as np
+
+    from ..quant.functional import _decode_meta
+
+    meta_key = f"{target}.weight._meta"
+    if meta_key in flat:
+        shape = tuple(_decode_meta(flat[meta_key])["shape"])
+    elif f"{target}.weight.data" in flat:
+        shape = tuple(flat[f"{target}.weight.data"].shape)
+    else:
+        raise KeyError(f"cannot infer shape of quantized weight at {target}")
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
 
 
 def _get_subtree(params: Params, path: str) -> Params:
@@ -138,7 +158,10 @@ def replace_to_peft_layer(
     flat = dict(flatten_params(params))
     keys = jax.random.split(key, max(len(targets), 1))
     for target, sub_key in zip(targets, keys):
-        weight = flat[f"{target}.weight"]
+        weight = flat.get(f"{target}.weight")
+        if weight is None:
+            # quantized base: recover the fp shape for adapter sizing
+            weight = _quant_shape_stub(flat, target)
         if config.type == "lora":
             adapter = _init_lora(sub_key, weight, config, dtype)
         elif config.type == "loha":

@@ -1,0 +1,278 @@
+"""Quantization as param-tree transformations.
+
+Reference surface: /root/reference/src/modules/quant/functional.py
+(QUANT_TYPE dispatcher, replace/inplace quantization, prequantized
+checkpoint detection + loading, offline quantize_state_dict). TPU-native
+delta: a quantized Linear is a *param subtree* — ``params["weight"]``
+becomes a dict {"packed"/"data", scales, ...} — and ``nn.core.Linear``
+dequantizes on the fly (the dequant fuses into the matmul under jit;
+QLoRA = this + LoRA subtrees side by side).
+
+Supported types (reference functional.py:21-30):
+  bnb_nf4 / bnb_fp4  — bnb-packed 4-bit (bit-compatible load & save)
+  ao_nf4             — same math as bnb_nf4 (torchao's layout is runtime-
+                       only in the reference too)
+  bnb_int8           — per-row absmax int8 (LLM.int8 weight format)
+  quanto_int8        — quanto qint8 (weight._data x weight._scale)
+  quanto_int4        — detected but not implemented (clear error)
+  fp8_e4m3fn / ao_fp8— native XLA fp8 dtype cast
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...nn.core import Params, flatten_params, unflatten_params
+from ...utils.state_dict import RegexMatch, get_target_keys
+from .nf4 import dequantize_4bit, parse_quant_state, quantize_4bit
+
+QUANT_TYPE = Literal[
+    "fp8_e4m3fn",
+    "bnb_int8",
+    "bnb_fp4",
+    "bnb_nf4",
+    "quanto_int4",
+    "quanto_int8",
+    "ao_nf4",
+    "ao_fp8",
+]
+
+_ALL_TYPES = (
+    "fp8_e4m3fn", "bnb_int8", "bnb_fp4", "bnb_nf4",
+    "quanto_int4", "quanto_int8", "ao_nf4", "ao_fp8",
+)
+
+
+def validate_quant_type(quant_type: str) -> None:
+    if quant_type not in _ALL_TYPES:
+        raise ValueError(f"Unknown quant_type: {quant_type}")
+
+
+# ---------------------------------------------------------------------------
+# quantized-weight subtree construction / application
+
+
+def quantize_weight(weight, quant_type: QUANT_TYPE) -> Any:
+    """fp array -> quantized leaf (dict subtree or fp8 array)."""
+    validate_quant_type(quant_type)
+    w = np.asarray(weight, np.float32)
+    if quant_type in ("bnb_nf4", "bnb_fp4", "ao_nf4"):
+        qt = "nf4" if quant_type.endswith("nf4") else "fp4"
+        packed, state = quantize_4bit(w, quant_type=qt)
+        parsed = parse_quant_state(state)
+        return {
+            "packed": jnp.asarray(packed),
+            "code": parsed["code"],
+            "absmax": parsed["absmax"],
+            "_meta": _encode_meta(qt, w.shape, parsed["blocksize"]),
+        }
+    if quant_type == "bnb_int8":
+        absmax = np.maximum(np.abs(w).max(axis=1), 1e-12).astype(np.float32)
+        data = np.round(w / absmax[:, None] * 127.0).clip(-127, 127).astype(np.int8)
+        return {"data": jnp.asarray(data), "SCB": jnp.asarray(absmax)}
+    if quant_type == "quanto_int8":
+        scale = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-12).astype(np.float32) / 127.0
+        data = np.round(w / scale).clip(-127, 127).astype(np.int8)
+        return {"data": jnp.asarray(data), "scale": jnp.asarray(scale)}
+    if quant_type in ("fp8_e4m3fn", "ao_fp8"):
+        return jnp.asarray(w).astype(jnp.float8_e4m3fn)
+    raise NotImplementedError(f"{quant_type} quantization is not implemented")
+
+
+def _encode_meta(quant_type: str, shape, blocksize: int) -> jax.Array:
+    import json
+
+    payload = json.dumps(
+        {"quant_type": quant_type, "shape": list(shape), "blocksize": blocksize}
+    ).encode("utf-8")
+    return jnp.asarray(np.frombuffer(payload, np.uint8).copy())
+
+
+def _decode_meta(meta: jax.Array) -> dict:
+    import json
+
+    return json.loads(bytes(np.asarray(meta).astype(np.uint8)).decode("utf-8"))
+
+
+def is_quantized_weight(weight: Any) -> bool:
+    if isinstance(weight, dict):
+        return True
+    dtype = getattr(weight, "dtype", None)
+    return dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+def dequantize_weight(weight: Any, dtype=jnp.float32, shape=None) -> jax.Array:
+    """Quantized leaf -> fp array.
+
+    ``shape`` (static) must be passed under jit for 4-bit subtrees — the
+    ``_meta`` leaf is host-only (decoding it would read a tracer). Linear
+    passes its own (out_features, in_features).
+    """
+    if not isinstance(weight, dict):
+        return weight.astype(dtype)  # fp8 array
+    if "packed" in weight:
+        if shape is None:
+            meta = _decode_meta(weight["_meta"])
+            shape = tuple(meta["shape"])
+        numel = int(np.prod(shape))
+        blocksize = numel // int(weight["absmax"].shape[0])
+        return dequantize_4bit(
+            weight["packed"], weight["code"], weight["absmax"],
+            tuple(shape), blocksize, dtype,
+        )
+    if "SCB" in weight:
+        return (
+            weight["data"].astype(jnp.float32) * weight["SCB"][:, None] / 127.0
+        ).astype(dtype)
+    if "scale" in weight:
+        return (weight["data"].astype(jnp.float32) * weight["scale"]).astype(dtype)
+    raise ValueError(f"Unknown quantized weight layout: {list(weight)}")
+
+
+# ---------------------------------------------------------------------------
+# param-tree transformations (replace / inplace are one operation here)
+
+
+def quantize_params(
+    params: Params,
+    quant_type: QUANT_TYPE,
+    include_keys: Sequence[str | RegexMatch],
+    exclude_keys: Sequence[str | RegexMatch] = (),
+) -> Params:
+    """Quantize targeted 2-D (Linear) weights in a param tree."""
+    flat = dict(flatten_params(params))
+    paths = [
+        k[: -len(".weight")]
+        for k, v in flat.items()
+        if k.endswith(".weight") and getattr(v, "ndim", 0) == 2
+    ]
+    targets = set(get_target_keys(include_keys, exclude_keys, paths))
+    out: dict[str, Any] = {}
+    for key, value in flat.items():
+        root = key[: -len(".weight")] if key.endswith(".weight") else None
+        if root in targets:
+            q = quantize_weight(value, quant_type)
+            if isinstance(q, dict):
+                for name, leaf in q.items():
+                    out[f"{key}.{name}"] = leaf
+            else:
+                out[key] = q
+        else:
+            out[key] = value
+    return unflatten_params(out)
+
+
+# keep the reference API names
+replace_to_quant_linear = quantize_params
+quantize_inplace = quantize_params
+
+
+# ---------------------------------------------------------------------------
+# prequantized checkpoints
+
+
+def collect_children_dict(
+    prefix: str, state_dict: dict[str, Any], remove_prefix: bool = True
+) -> dict[str, Any]:
+    return {
+        (k[len(prefix):] if remove_prefix else k): v
+        for k, v in state_dict.items()
+        if k.startswith(prefix)
+    }
+
+
+def get_quant_type_from_children_dict(children: dict[str, Any]) -> QUANT_TYPE:
+    """(reference functional.py:277-301)"""
+    for key, tensor in children.items():
+        if "quant_state" in key:
+            qt = key[len("quant_state.bitsandbytes__"):]
+            if qt == "nf4":
+                return "bnb_nf4"
+            if qt == "fp4":
+                return "bnb_fp4"
+        elif "weight_format" in key:
+            return "bnb_int8"
+        elif "_data" in key:
+            if tensor.dtype == jnp.int8:
+                return "quanto_int8"
+            return "quanto_int4"
+    raise ValueError("quant_type not found")
+
+
+def convert_prequantized_state_dict(state_dict: dict[str, Any]) -> dict[str, Any]:
+    """Group bnb/quanto quant-state keys (``X.weight.absmax`` etc.) into the
+    dict-valued ``X.weight`` subtrees our Linear applies — the functional
+    analogue of replace_by_prequantized_weights (reference :303-338)."""
+    roots = set()
+    for key in state_dict:
+        for marker in (".weight.quant_state.bitsandbytes__", ".weight.absmax",
+                       ".weight._data", ".weight.SCB"):
+            idx = key.find(marker)
+            if idx >= 0:
+                roots.add(key[: idx + len(".weight")])
+    if not roots:
+        return state_dict
+
+    out: dict[str, Any] = {}
+    consumed: set[str] = set()
+    for root in roots:
+        children = collect_children_dict(f"{root}.", state_dict)
+        consumed.update(f"{root}.{k}" for k in children)
+        consumed.add(root)
+        quant_type = get_quant_type_from_children_dict(children)
+        if quant_type in ("bnb_nf4", "bnb_fp4"):
+            parsed = parse_quant_state(children)
+            out[f"{root}.packed"] = jnp.asarray(
+                np.asarray(state_dict[root]), jnp.uint8
+            )
+            out[f"{root}.code"] = parsed["code"]
+            out[f"{root}.absmax"] = parsed["absmax"]
+            out[f"{root}._meta"] = _encode_meta(
+                parsed["quant_type"], parsed["shape"], parsed["blocksize"]
+            )
+        elif quant_type == "bnb_int8":
+            out[f"{root}.data"] = jnp.asarray(state_dict[root])
+            out[f"{root}.SCB"] = jnp.asarray(children["SCB"])
+        elif quant_type == "quanto_int8":
+            out[f"{root}.data"] = jnp.asarray(children["_data"])
+            out[f"{root}.scale"] = jnp.asarray(children["_scale"])
+        else:
+            raise NotImplementedError(f"{quant_type} checkpoints are not supported yet")
+    for key, value in state_dict.items():
+        if key not in consumed:
+            out[key] = value
+    return out
+
+
+def quantize_state_dict(
+    state_dict: dict[str, Any],
+    quant_type: QUANT_TYPE,
+    include_keys: Sequence[str | RegexMatch],
+    exclude_keys: Sequence[str | RegexMatch] = (),
+) -> dict[str, Any]:
+    """Offline checkpoint quantizer in bnb's on-disk format
+    (reference functional.py:342-371 + tools/quantize_model.py)."""
+    if quant_type not in ("bnb_nf4", "bnb_fp4", "fp8_e4m3fn"):
+        raise NotImplementedError("Only bnb 4bit / fp8 offline quantization is supported")
+    targets = set(get_target_keys(include_keys, exclude_keys, list(state_dict.keys())))
+    out = dict(state_dict)
+    for key in list(out.keys()):
+        if key not in targets:
+            continue
+        if quant_type in ("bnb_nf4", "bnb_fp4"):
+            w = np.asarray(out[key], np.float32)
+            if w.ndim != 2:
+                continue
+            packed, state = quantize_4bit(
+                w, quant_type=quant_type[len("bnb_"):], compress_statistics=True
+            )
+            out[key] = jnp.asarray(packed)
+            for state_key, state_value in state.items():
+                out[f"{key}.{state_key}"] = jnp.asarray(state_value)
+        else:
+            out[key] = jnp.asarray(out[key]).astype(jnp.float8_e4m3fn)
+    return out

@@ -1,0 +1,211 @@
+"""NF4 / FP4 blockwise quantization, bit-compatible with bitsandbytes.
+
+The reference quantizes with bnb `quantize_4bit` (CUDA) and loads packed
+quant-state tensors from checkpoints (/root/reference/src/modules/quant/
+functional.py:342-371, bnb.py:78-130). This module reimplements the
+*format* on TPU/CPU so prequantized reference checkpoints load bit-exactly
+and checkpoints we write load in bnb:
+
+- values are mapped to a 16-entry codebook (NF4: quantiles of N(0,1);
+  FP4: a tiny e2m1 float grid), per 64-element block scaled by absmax
+- two codes per byte, first element in the HIGH nibble
+- optional double quantization of absmax (dynamic 8-bit blockwise with a
+  256-entry dynamic map, blocksize 256, mean offset)
+- the non-tensor state (shape/blocksize/dtype) rides a JSON-in-uint8
+  tensor under ``quant_state.bitsandbytes__nf4`` exactly like bnb
+
+Dequantization is XLA ops (gather + scale); the hot path fuses into the
+following matmul under jit.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NF4 codebook: 16 quantiles of N(0, 1) normalized to [-1, 1]
+# (QLoRA paper / bitsandbytes functional.py `create_normal_map`)
+NF4_CODE = np.array(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    dtype=np.float32,
+)
+
+# FP4 codebook (bnb create_fp4_map): sign x {0, .0625, 8/12, .25, .333, .5, .667, 1}
+FP4_CODE = np.array(
+    [0.0, 0.0052083333, 0.6666666667, 1.0, 0.3333333333, 0.5, 0.1666666667, 0.25,
+     0.0, -0.0052083333, -0.6666666667, -1.0, -0.3333333333, -0.5, -0.1666666667, -0.25],
+    dtype=np.float32,
+)
+
+
+def create_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bits: int = 8) -> np.ndarray:
+    """bitsandbytes' dynamic 8-bit map (sign + dynamic exponent + linear
+    fraction), used for double-quantized absmax."""
+    data = []
+    non_sign_bits = total_bits - (1 if signed else 1)
+    additional_items = 2 ** (non_sign_bits - max_exponent_bits) - 1
+    for i in range(max_exponent_bits):
+        fraction_items = int(
+            2 ** (i + non_sign_bits - max_exponent_bits) + 1
+            if signed
+            else 2 ** (i + non_sign_bits - max_exponent_bits + 1) + 1
+        )
+        boundaries = np.linspace(0.1, 1, fraction_items)
+        means = (boundaries[:-1] + boundaries[1:]) / 2.0
+        data += ((10 ** (-(max_exponent_bits - 1) + i)) * means).tolist()
+        if signed:
+            data += (-(10 ** (-(max_exponent_bits - 1) + i)) * means).tolist()
+    if additional_items > 0:
+        boundaries = np.linspace(0.1, 1, additional_items + 1)
+        means = (boundaries[:-1] + boundaries[1:]) / 2.0
+        data += ((10 ** (-(max_exponent_bits - 1) + max_exponent_bits - 1)) * means).tolist()
+        if signed:
+            data += (-(10 ** (-(max_exponent_bits - 1) + max_exponent_bits - 1)) * means).tolist()
+    data.append(0)
+    data.append(1.0)
+    assert len(data) == 2**total_bits
+    data.sort()
+    return np.array(data, dtype=np.float32)
+
+
+DYNAMIC_MAP = create_dynamic_map()
+
+
+def _nearest_code(values: np.ndarray, code: np.ndarray) -> np.ndarray:
+    """Index of the nearest codebook entry (midpoint rule, like bnb)."""
+    order = np.argsort(code)
+    sorted_code = code[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) / 2
+    idx_sorted = np.searchsorted(mids, values, side="left")
+    return order[idx_sorted]
+
+
+def quantize_blockwise_nested(absmax: np.ndarray, blocksize: int = 256):
+    """Double-quantize absmax like bnb (dynamic map + mean offset)."""
+    offset = absmax.mean(dtype=np.float32)
+    centered = absmax - offset
+    pad = (-centered.size) % blocksize
+    blocks = np.pad(centered, (0, pad)).reshape(-1, blocksize)
+    nested_absmax = np.abs(blocks).max(axis=1)
+    nested_absmax = np.maximum(nested_absmax, 1e-12)
+    normalized = blocks / nested_absmax[:, None]
+    codes = _nearest_code(normalized.reshape(-1), DYNAMIC_MAP).astype(np.uint8)
+    codes = codes[: centered.size]
+    return codes, nested_absmax.astype(np.float32), np.float32(offset)
+
+
+def dequantize_blockwise_nested(
+    absmax_q: jax.Array, nested_absmax: jax.Array, nested_code: jax.Array,
+    offset: float, blocksize: int = 256,
+) -> jax.Array:
+    values = jnp.take(nested_code.astype(jnp.float32), absmax_q.astype(jnp.int32))
+    n = values.shape[0]
+    scales = jnp.repeat(nested_absmax.astype(jnp.float32), blocksize)[:n]
+    return values * scales + jnp.float32(offset)
+
+
+def quantize_4bit(
+    weight: np.ndarray,
+    quant_type: str = "nf4",
+    blocksize: int = 64,
+    compress_statistics: bool = False,
+) -> tuple[np.ndarray, dict[str, Any]]:
+    """Quantize to the bnb packed layout.
+
+    Returns (packed uint8 of shape (ceil(numel/2), 1), flat quant-state
+    tensors dict in bnb ``as_dict(packed=True)`` form).
+    """
+    code = NF4_CODE if quant_type == "nf4" else FP4_CODE
+    shape = list(weight.shape)
+    flat = np.asarray(weight, np.float32).reshape(-1)
+    pad = (-flat.size) % blocksize
+    blocks = np.pad(flat, (0, pad)).reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1).astype(np.float32)
+    safe = np.maximum(absmax, 1e-12)
+    normalized = (blocks / safe[:, None]).reshape(-1)
+    codes = _nearest_code(normalized, code).astype(np.uint8)
+    # pack: even index -> high nibble
+    if codes.size % 2:
+        codes = np.pad(codes, (0, 1))
+    packed = (codes[0::2] << 4) | codes[1::2]
+    packed = packed.reshape(-1, 1)
+
+    state: dict[str, Any] = {"quant_map": code.copy()}
+    meta = {
+        "quant_type": quant_type,
+        "blocksize": blocksize,
+        "shape": shape,
+        "dtype": "float32",
+    }
+    if compress_statistics:
+        absmax_q, nested_absmax, offset = quantize_blockwise_nested(absmax)
+        state["absmax"] = absmax_q
+        state["nested_absmax"] = nested_absmax
+        state["nested_quant_map"] = DYNAMIC_MAP.copy()
+        meta["nested_blocksize"] = 256
+        meta["nested_offset"] = float(offset)
+        meta["nested_dtype"] = "float32"
+    else:
+        state["absmax"] = absmax
+    state[f"quant_state.bitsandbytes__{quant_type}"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    ).copy()
+    return packed.astype(np.uint8), state
+
+
+def parse_quant_state(children: dict[str, Any]) -> dict[str, Any]:
+    """Parse the bnb packed quant-state tensors (values may be jax or numpy
+    arrays) into {code, absmax(fp32), blocksize, shape, quant_type}."""
+    meta_key = next(k for k in children if k.startswith("quant_state.bitsandbytes__"))
+    quant_type = meta_key[len("quant_state.bitsandbytes__") :]
+    meta = json.loads(bytes(np.asarray(children[meta_key]).astype(np.uint8)).decode("utf-8"))
+    code = jnp.asarray(children["quant_map"], jnp.float32)
+    absmax = children["absmax"]
+    if "nested_absmax" in children:
+        absmax = dequantize_blockwise_nested(
+            jnp.asarray(absmax),
+            jnp.asarray(children["nested_absmax"]),
+            jnp.asarray(children["nested_quant_map"]),
+            float(meta["nested_offset"]),
+            int(meta.get("nested_blocksize", 256)),
+        )
+    else:
+        absmax = jnp.asarray(absmax, jnp.float32)
+    return {
+        "quant_type": quant_type,
+        "code": code,
+        "absmax": absmax,
+        "blocksize": int(meta["blocksize"]),
+        "shape": tuple(meta["shape"]),
+    }
+
+
+def dequantize_4bit(
+    packed: jax.Array,
+    code: jax.Array,
+    absmax: jax.Array,
+    shape: tuple[int, ...],
+    blocksize: int = 64,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Unpack + codebook lookup + per-block scale. Pure XLA; fuses into the
+    consuming matmul under jit."""
+    flat = packed.reshape(-1).astype(jnp.uint8)
+    high = (flat >> 4).astype(jnp.int32)
+    low = (flat & 0xF).astype(jnp.int32)
+    codes = jnp.stack([high, low], axis=1).reshape(-1)
+    numel = int(np.prod(shape))
+    codes = codes[:numel]
+    values = jnp.take(code.astype(jnp.float32), codes)
+    scales = jnp.repeat(absmax.astype(jnp.float32), blocksize)[:numel]
+    return (values * scales).reshape(shape).astype(dtype)

@@ -196,6 +196,14 @@ class Linear(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         w = params["weight"]
+        if isinstance(w, dict) or w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            # quantized weight subtree (modules/quant): dequantize on the
+            # fly; XLA fuses the gather+scale into this matmul
+            from ..modules.quant.functional import dequantize_weight
+
+            w = dequantize_weight(
+                w, dtype=x.dtype, shape=(self.out_features, self.in_features)
+            )
         y = lax.dot_general(
             x,
             w,

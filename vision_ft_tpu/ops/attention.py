@@ -57,7 +57,11 @@ def _xla_attention(
             logits = jnp.where(mask, logits, -jnp.inf)
         else:
             logits = logits + mask.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    weights = jax.nn.softmax(logits, axis=-1)
+    # fully-masked rows (e.g. IP-Adapter's zero ip_mask when no reference
+    # image is given) produce NaN in a plain softmax; define them as 0
+    # attention output instead (the flash kernel does the same)
+    weights = jnp.where(jnp.isnan(weights), 0.0, weights).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=lax.Precision.HIGHEST)
 
 
