@@ -1,0 +1,189 @@
+"""Flux pipeline (reference src/models/flux/pipeline.py): single-file
+checkpoint I/O + linear-schedule Euler generate with distilled guidance."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ...modules.timestep.scheduler import get_linear_schedule
+from ...nn import flatten_params, unflatten_params
+from ...utils import safetensors as st
+from ...utils import tensor as tensor_utils
+from ..autoencoder import AutoencoderKL
+from .config import FluxConfig
+from .denoiser import Denoiser
+from .text_encoder import DEFAULT_T5_MAX_TOKEN_LENGTH, TextEncoder
+from .util import convert_from_original_key, convert_to_original_key
+from .vae import DEFAULT_VAE_CONFIG
+
+
+def _str_to_dtype(name: str):
+    return {
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float16": jnp.float16, "fp16": jnp.float16,
+        "float32": jnp.float32, "fp32": jnp.float32,
+    }[name]
+
+
+class FluxModel:
+    denoiser_class: type[Denoiser] = Denoiser
+
+    def __init__(self, config: FluxConfig, clip_tokenizer=None, t5_tokenizer=None,
+                 vae_config=None, clip_config=None, t5_config=None):
+        self.config = config
+        self.dtype = _str_to_dtype(config.dtype)
+        self.denoiser = self.denoiser_class.from_config(config.denoiser)
+        self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
+        self.text_encoder = TextEncoder(
+            clip_config=clip_config, t5_config=t5_config,
+            clip_tokenizer=clip_tokenizer, t5_tokenizer=t5_tokenizer,
+        )
+        self.params: dict = {}
+        self._jit_steps: dict = {}
+
+    @classmethod
+    def from_config(cls, config: FluxConfig, **kwargs) -> "FluxModel":
+        return cls(config, **kwargs)
+
+    # -- checkpoint I/O ---------------------------------------------------------
+
+    def load_state_dict(self, flat: dict[str, jax.Array]) -> None:
+        self.params = {
+            root: unflatten_params(
+                {k[len(root) + 1 :]: v for k, v in flat.items() if k.startswith(f"{root}.")}
+            )
+            for root in ("denoiser", "vae", "text_encoder")
+        }
+
+    def load_checkpoint_weights(self) -> None:
+        state_dict = st.load_file(self.config.checkpoint_path, dtype=self.dtype)
+        state_dict = {convert_from_original_key(k): v for k, v in state_dict.items()}
+        # T5 ties shared <-> embed_tokens (reference text_encoder.py:146-176)
+        shared = "text_encoder.t5.shared.weight"
+        embed = "text_encoder.t5.encoder.embed_tokens.weight"
+        if shared not in state_dict and embed in state_dict:
+            state_dict[shared] = state_dict[embed]
+        elif embed not in state_dict and shared in state_dict:
+            state_dict[embed] = state_dict[shared]
+        # drop CLIP text_projection if present
+        state_dict.pop("text_encoder.clip.text_projection.weight", None)
+        from ...modules.quant import convert_prequantized_state_dict
+
+        state_dict = convert_prequantized_state_dict(state_dict)
+        self.load_state_dict(state_dict)
+
+    @classmethod
+    def from_checkpoint(cls, config: FluxConfig, **kwargs) -> "FluxModel":
+        model = cls(config, **kwargs)
+        model.load_checkpoint_weights()
+        return model
+
+    def init_params(self, key: jax.Array, dtype=None) -> None:
+        dtype = dtype or self.dtype
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.params = {
+            "denoiser": self.denoiser.init(k1, dtype),
+            "vae": self.vae.init(k2, dtype),
+            "text_encoder": self.text_encoder.init(k3, dtype),
+        }
+
+    def state_dict(self) -> dict[str, jax.Array]:
+        flat = {}
+        for root in ("denoiser", "vae", "text_encoder"):
+            flat.update(
+                {f"{root}.{k}": v for k, v in flatten_params(self.params[root]).items()}
+            )
+        return {convert_to_original_key(k): v for k, v in flat.items()}
+
+    # -- latents / images -----------------------------------------------------------
+
+    def prepare_latents(self, batch_size: int, height: int, width: int,
+                        seed: Optional[int] = None) -> jax.Array:
+        ratio = int(self.vae.compression_ratio)
+        shape = (
+            batch_size, height // ratio, width // ratio, self.vae.config.latent_channels
+        )
+        return tensor_utils.incremental_seed_randn(shape, seed, dtype=self.dtype)
+
+    def encode_image(self, image, key: Optional[jax.Array] = None) -> jax.Array:
+        if isinstance(image, Image.Image):
+            image = tensor_utils.images_to_tensor([image], self.dtype)
+        elif isinstance(image, (list, tuple)):
+            image = tensor_utils.images_to_tensor(list(image), self.dtype)
+        dist = self.vae.encode(self.params["vae"], image.astype(self.dtype))
+        z = dist.sample(key) if key is not None else dist.mode()
+        # reference quirk: Flux's encode/decode skip the shift_factor
+        return z * self.vae.scaling_factor
+
+    def decode_image(self, latents: jax.Array) -> list[Image.Image]:
+        return tensor_utils.tensor_to_images(
+            self.vae.decode(self.params["vae"], latents / self.vae.scaling_factor)
+        )
+
+    # -- compiled step ------------------------------------------------------------------
+
+    def _denoise_step(self, params, latents, timestep, delta, t5_emb, clip_emb,
+                      guidance, cfg_scale, do_cfg: bool):
+        model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
+        batch = model_input.shape[0]
+        t = jnp.broadcast_to(timestep.astype(latents.dtype), (batch,))
+        g = jnp.broadcast_to(guidance.astype(latents.dtype), (batch,))
+        velocity = self.denoiser(params, model_input, t5_emb, t, clip_emb, guidance=g)
+        if do_cfg:
+            positive, negative = jnp.split(velocity, 2)
+            velocity = negative + cfg_scale * (positive - negative)
+        return (latents.astype(jnp.float32) - velocity.astype(jnp.float32) * delta).astype(
+            latents.dtype
+        )
+
+    def _get_jit_step(self, do_cfg: bool):
+        if do_cfg not in self._jit_steps:
+            self._jit_steps[do_cfg] = jax.jit(partial(self._denoise_step, do_cfg=do_cfg))
+        return self._jit_steps[do_cfg]
+
+    # -- generate ----------------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt,
+        negative_prompt=None,
+        width: int = 768,
+        height: int = 768,
+        num_inference_steps: int = 20,
+        cfg_scale: float = 1.0,
+        distilled_guidance_scale: float = 1.0,
+        seed: Optional[int] = None,
+        max_token_length: int = DEFAULT_T5_MAX_TOKEN_LENGTH,
+        do_offloading: bool = False,
+    ) -> list[Image.Image]:
+        do_cfg = cfg_scale > 1.0
+        batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
+        encoder_output = self.text_encoder.encode_prompts(
+            self.params["text_encoder"], prompt, negative_prompt,
+            use_negative_prompts=do_cfg, t5_max_token_length=max_token_length,
+        )
+        t5_emb = jnp.concatenate(
+            [encoder_output.t5.positive_embeddings, encoder_output.t5.negative_embeddings]
+        ).astype(self.dtype)
+        clip_emb = jnp.concatenate(
+            [encoder_output.clip.positive_embeddings, encoder_output.clip.negative_embeddings]
+        ).astype(self.dtype)
+
+        latents = self.prepare_latents(batch_size, height, width, seed=seed)
+        timesteps = get_linear_schedule(num_inference_steps)
+        delta = 1.0 / num_inference_steps
+
+        step = self._get_jit_step(do_cfg)
+        for t in timesteps:
+            latents = step(
+                self.params["denoiser"], latents, jnp.float32(t), jnp.float32(delta),
+                t5_emb, clip_emb, jnp.float32(distilled_guidance_scale),
+                jnp.float32(cfg_scale),
+            )
+        return self.decode_image(latents)

@@ -36,6 +36,9 @@ class UMT5Config:
     layer_norm_epsilon: float = 1e-6
     dense_act_fn: str = "gelu_new"
     attention_backend: str = "xla"
+    # UMT5: every layer owns a relative bias; classic T5 (e.g. Flux's
+    # T5-XXL): only block 0 owns it and all layers share it
+    per_layer_relative_bias: bool = True
 
 
 # AuraFlow's Pile-T5-XL config (reference text_encoder.py:19-47)
@@ -70,22 +73,23 @@ def relative_position_bucket(
 
 
 class UMT5Attention(ModuleDict):
-    def __init__(self, config: UMT5Config):
+    def __init__(self, config: UMT5Config, has_relative_bias: bool = True):
         self.config = config
         self.n_heads = config.num_heads
         self.d_kv = config.d_kv
+        self.has_relative_bias = has_relative_bias
         inner = config.num_heads * config.d_kv
-        super().__init__(
-            {
-                "q": Linear(config.d_model, inner, bias=False),
-                "k": Linear(config.d_model, inner, bias=False),
-                "v": Linear(config.d_model, inner, bias=False),
-                "o": Linear(inner, config.d_model, bias=False),
-                "relative_attention_bias": Embedding(
-                    config.relative_attention_num_buckets, config.num_heads
-                ),
-            }
-        )
+        children = {
+            "q": Linear(config.d_model, inner, bias=False),
+            "k": Linear(config.d_model, inner, bias=False),
+            "v": Linear(config.d_model, inner, bias=False),
+            "o": Linear(inner, config.d_model, bias=False),
+        }
+        if has_relative_bias:
+            children["relative_attention_bias"] = Embedding(
+                config.relative_attention_num_buckets, config.num_heads
+            )
+        super().__init__(children)
 
     def position_bias(self, params, seq_len: int) -> jax.Array:
         """(1, heads, seq, seq) additive bias; bucket table is static."""
@@ -101,7 +105,8 @@ class UMT5Attention(ModuleDict):
         )  # (seq, seq, heads)
         return values.transpose(2, 0, 1)[None]
 
-    def __call__(self, params, x, mask: Optional[jax.Array] = None):
+    def __call__(self, params, x, mask: Optional[jax.Array] = None,
+                 position_bias: Optional[jax.Array] = None):
         b, s, _ = x.shape
         h, d = self.n_heads, self.d_kv
 
@@ -111,7 +116,9 @@ class UMT5Attention(ModuleDict):
         q = heads(self["q"](params["q"], x))
         k = heads(self["k"](params["k"], x))
         v = heads(self["v"](params["v"], x))
-        bias = self.position_bias(params, s).astype(jnp.float32)
+        bias = (
+            position_bias if position_bias is not None else self.position_bias(params, s)
+        ).astype(jnp.float32)
         if mask is not None:
             # additive: 0 keep, -inf drop (broadcast (B, 1, 1, S))
             bias = bias + jnp.where(mask[:, None, None, :], 0.0, -1e9)
@@ -122,7 +129,7 @@ class UMT5Attention(ModuleDict):
 
 
 class UMT5Block(ModuleDict):
-    def __init__(self, config: UMT5Config):
+    def __init__(self, config: UMT5Config, has_relative_bias: bool = True):
         self.act = _act(config.dense_act_fn)
         super().__init__(
             {
@@ -130,7 +137,7 @@ class UMT5Block(ModuleDict):
                     {
                         "0": ModuleDict(
                             {
-                                "SelfAttention": UMT5Attention(config),
+                                "SelfAttention": UMT5Attention(config, has_relative_bias),
                                 "layer_norm": RMSNorm(config.d_model, config.layer_norm_epsilon),
                             }
                         ),
@@ -151,11 +158,11 @@ class UMT5Block(ModuleDict):
             }
         )
 
-    def __call__(self, params, x, mask=None):
+    def __call__(self, params, x, mask=None, position_bias=None):
         l0 = self["layer"]["0"]
         p0 = params["layer"]["0"]
         normed = l0["layer_norm"](p0["layer_norm"], x)
-        x = x + l0["SelfAttention"](p0["SelfAttention"], normed, mask)
+        x = x + l0["SelfAttention"](p0["SelfAttention"], normed, mask, position_bias)
 
         l1 = self["layer"]["1"]
         p1 = params["layer"]["1"]
@@ -172,7 +179,10 @@ class UMT5EncoderModel(Module):
     def __init__(self, config: UMT5Config):
         self.config = config
         self.shared = Embedding(config.vocab_size, config.d_model)
-        self.blocks = [UMT5Block(config) for _ in range(config.num_layers)]
+        self.blocks = [
+            UMT5Block(config, has_relative_bias=config.per_layer_relative_bias or i == 0)
+            for i in range(config.num_layers)
+        ]
         self.final_layer_norm = RMSNorm(config.d_model, config.layer_norm_epsilon)
 
     def init(self, key, dtype=jnp.float32):
@@ -198,6 +208,14 @@ class UMT5EncoderModel(Module):
         embed = params["encoder"]["embed_tokens"]["weight"]
         x = jnp.take(embed, input_ids, axis=0)
         mask = attention_mask.astype(bool) if attention_mask is not None else None
+        shared_bias = None
+        if not self.config.per_layer_relative_bias:
+            blk0 = self.blocks[0]["layer"]["0"]["SelfAttention"]
+            shared_bias = blk0.position_bias(
+                params["encoder"]["block"]["0"]["layer"]["0"]["SelfAttention"],
+                x.shape[1],
+            )
         for i, blk in enumerate(self.blocks):
-            x = blk(params["encoder"]["block"][str(i)], x, mask)
+            bias = shared_bias if (shared_bias is not None and i > 0) else None
+            x = blk(params["encoder"]["block"][str(i)], x, mask, bias)
         return self.final_layer_norm(params["encoder"]["final_layer_norm"], x)
