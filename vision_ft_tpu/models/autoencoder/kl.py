@@ -47,6 +47,9 @@ class AutoencoderKLConfig:
     # Flux/Lumina2 VAE has no quant convs (use_quant_conv: false in its
     # diffusers config, reference lumina2/vae.py:36-37)
     use_quant_conv: bool = True
+    # CogView4's VAE drops the mid-block attention (reference
+    # cogview4/vae.py mid_block_add_attention: false)
+    mid_block_add_attention: bool = True
 
 
 # Flux/Lumina2 share a 16-channel VAE (reference lumina2/vae.py:47-51)
@@ -110,22 +113,24 @@ class VAEAttention(ModuleDict):
 
 
 class MidBlock(ModuleDict):
-    def __init__(self, channels: int, groups: int = 32):
-        super().__init__(
-            {
-                "resnets": ModuleDict(
-                    {
-                        "0": ResnetBlock(channels, channels, groups),
-                        "1": ResnetBlock(channels, channels, groups),
-                    }
-                ),
-                "attentions": ModuleDict({"0": VAEAttention(channels, groups)}),
-            }
-        )
+    def __init__(self, channels: int, groups: int = 32, add_attention: bool = True):
+        self.add_attention = add_attention
+        children = {
+            "resnets": ModuleDict(
+                {
+                    "0": ResnetBlock(channels, channels, groups),
+                    "1": ResnetBlock(channels, channels, groups),
+                }
+            ),
+        }
+        if add_attention:
+            children["attentions"] = ModuleDict({"0": VAEAttention(channels, groups)})
+        super().__init__(children)
 
     def __call__(self, params, x):
         x = self["resnets"]["0"](params["resnets"]["0"], x)
-        x = self["attentions"]["0"](params["attentions"]["0"], x)
+        if self.add_attention:
+            x = self["attentions"]["0"](params["attentions"]["0"], x)
         x = self["resnets"]["1"](params["resnets"]["1"], x)
         return x
 
@@ -168,7 +173,7 @@ class Encoder(Module):
             blocks[str(i)] = ModuleDict(block)
             in_ch = out_ch
         self.down_blocks = ModuleDict(blocks)
-        self.mid_block = MidBlock(chs[-1], g)
+        self.mid_block = MidBlock(chs[-1], g, config.mid_block_add_attention)
         self.conv_norm_out = GroupNorm(g, chs[-1], eps=1e-6)
         self.conv_out = Conv2d(chs[-1], 2 * config.latent_channels, 3, padding=1)
 
@@ -204,7 +209,7 @@ class Decoder(Module):
         g = config.norm_num_groups
         rev = list(reversed(chs))
         self.conv_in = Conv2d(config.latent_channels, rev[0], 3, padding=1)
-        self.mid_block = MidBlock(rev[0], g)
+        self.mid_block = MidBlock(rev[0], g, config.mid_block_add_attention)
         blocks = {}
         in_ch = rev[0]
         for i, out_ch in enumerate(rev):

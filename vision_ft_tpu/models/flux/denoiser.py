@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...modules.patch import patchify
+from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
 from ...ops.attention import scaled_dot_product_attention
@@ -232,15 +232,6 @@ class LastLayer(ModuleDict):
         return self["linear"](params["linear"], x)
 
 
-def _unpatchify_cmajor(patches: jax.Array, hp: int, wp: int, p: int, c: int) -> jax.Array:
-    """(B, hp*wp, c*p*p) with (c, ph, pw) feature order -> NHWC
-    (reference Flux.unpatchify, denoiser.py:395-424)."""
-    b = patches.shape[0]
-    x = patches.reshape(b, hp, wp, c, p, p)
-    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, hp, p, wp, p, c)
-    return x.reshape(b, hp * p, wp * p, c)
-
-
 class Flux(Module):
     def __init__(self, config: DenoiserConfig):
         self.config = config
@@ -348,7 +339,7 @@ class Flux(Module):
         img = x[:, txt.shape[1]:]
 
         img = self.final_layer(params["final_layer"], img, vec)
-        return _unpatchify_cmajor(img, height // p, width // p, p, self.vae_channels)
+        return unpatchify_cmajor(img, height // p, width // p, p, self.vae_channels)
 
 
 class Denoiser(Flux):

@@ -36,6 +36,19 @@ def unpatchify(patches: jax.Array, height: int, width: int, patch_size: int, out
     return x.reshape(b, height * p, width * p, out_channels)
 
 
+def unpatchify_cmajor(
+    patches: jax.Array, height: int, width: int, patch_size: int, out_channels: int
+) -> jax.Array:
+    """(B, h*w, c*p*p) with (c, ph, pw) feature order -> NHWC. This is the
+    reference's shared modules/patch.py unpatchify ordering (used by Flux
+    and CogView4); AuraFlow/Lumina2 use the (ph, pw, c) variant above."""
+    b = patches.shape[0]
+    p = patch_size
+    x = patches.reshape(b, height, width, out_channels, p, p)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (b, h, p, w, p, c)
+    return x.reshape(b, height * p, width * p, out_channels)
+
+
 class ImagePatcher(Module):
     """Module wrapper (reference patch.py:119-174)."""
 
