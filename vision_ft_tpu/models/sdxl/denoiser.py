@@ -184,7 +184,9 @@ class TransformerBlock(ModuleDict):
             }
         )
 
-    def __call__(self, params, x, context, cross_attention_kwargs=None):
+    def __call__(self, params, x, context, cross_attention_kwargs=None, hw=None):
+        # hw = (height, width) of the current feature map; the base block
+        # ignores it (positional adapters like RoPE consume it)
         x = x + self["attn1"](params["attn1"], self["norm1"](params["norm1"], x))
         x = x + self["attn2"](
             params["attn2"], self["norm2"](params["norm2"], x), context,
@@ -211,18 +213,23 @@ class SpatialTransformer(ModuleDict):
         backend: AttentionImplementation,
         cross_attention_class: type = None,
         cross_attention_extra: dict = None,
+        transformer_block_class: type = None,
+        transformer_block_extra: dict = None,
     ):
         inner = num_heads * head_dim
         self.inner_dim = inner
+        tb_cls = transformer_block_class or TransformerBlock
+        tb_extra = transformer_block_extra or {}
         super().__init__(
             {
                 "norm": GroupNorm(32, in_channels, eps=1e-6),
                 "proj_in": Linear(in_channels, inner),
                 "transformer_blocks": ModuleDict(
                     {
-                        str(i): TransformerBlock(
+                        str(i): tb_cls(
                             inner, num_heads, head_dim, context_dim, backend,
                             cross_attention_class, cross_attention_extra,
+                            **tb_extra,
                         )
                         for i in range(num_blocks)
                     }
@@ -240,7 +247,8 @@ class SpatialTransformer(ModuleDict):
         blocks = self["transformer_blocks"]
         for i in range(len(blocks.children)):
             h = blocks[str(i)](
-                params["transformer_blocks"][str(i)], h, context, cross_attention_kwargs
+                params["transformer_blocks"][str(i)], h, context, cross_attention_kwargs,
+                hw=(hh, ww),
             )
         h = self["proj_out"](params["proj_out"], h)
         return h.reshape(b, hh, ww, c) + residual
@@ -314,7 +322,8 @@ class Upsample(ModuleDict):
 
 
 def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int,
-                       cross_attention_class=None, cross_attention_extra=None):
+                       cross_attention_class=None, cross_attention_extra=None,
+                       transformer_block_class=None, transformer_block_extra=None):
     """Flat list of layer-lists mirroring reference DownBlocks
     (denoiser.py:613-771): conv stem, resblocks(+transformers),
     downsamples between stages. Returns (ModuleDict tree, structure)."""
@@ -346,6 +355,8 @@ def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int,
                             backend,
                             cross_attention_class,
                             cross_attention_extra,
+                            transformer_block_class,
+                            transformer_block_extra,
                         ),
                     )
                 )
@@ -358,7 +369,8 @@ def _build_down_blocks(config: DenoiserConfig, time_embed_dim: int,
 
 
 def _build_up_blocks(config: DenoiserConfig, time_embed_dim: int,
-                     cross_attention_class=None, cross_attention_extra=None):
+                     cross_attention_class=None, cross_attention_extra=None,
+                     transformer_block_class=None, transformer_block_extra=None):
     """Mirror of reference UpBlocks (denoiser.py:860-1004): reversed
     channels, layers_per_block+1 resblocks per stage, skip-channel pops,
     trailing Upsample attached to the stage's last layer-list."""
@@ -396,6 +408,8 @@ def _build_up_blocks(config: DenoiserConfig, time_embed_dim: int,
                             backend,
                             cross_attention_class,
                             cross_attention_extra,
+                            transformer_block_class,
+                            transformer_block_extra,
                         ),
                     )
                 )
@@ -433,9 +447,13 @@ class UNet(Module):
     crop_coords_top_left)`` with latents (B, H, W, C).
     """
 
-    # pluggable cross-attention (adapters override on subclasses)
+    # pluggable cross-attention / transformer block (adapters override on
+    # subclasses — the functional analogue of the reference's
+    # transformer_block_class, adapter/rope.py:446-447)
     cross_attention_class: type = None
     cross_attention_extra: dict = None
+    transformer_block_class: type = None
+    transformer_block_extra: dict = None
 
     def __init__(self, config: DenoiserConfig):
         self.config = config
@@ -451,7 +469,10 @@ class UNet(Module):
             {"0": MLPEmbedder(config.global_cond_dim, self.time_embed_dim)}
         )
         ca_cls, ca_extra = self.cross_attention_class, self.cross_attention_extra
-        self.input_lists = _build_down_blocks(config, self.time_embed_dim, ca_cls, ca_extra)
+        tb_cls, tb_extra = self.transformer_block_class, self.transformer_block_extra
+        self.input_lists = _build_down_blocks(
+            config, self.time_embed_dim, ca_cls, ca_extra, tb_cls, tb_extra
+        )
         mid_ch = config.block_out_channels[-1]
         self.middle_list = [
             ("res", ResidualBlock(mid_ch, self.time_embed_dim, mid_ch)),
@@ -466,11 +487,15 @@ class UNet(Module):
                     config.attention_backend,
                     ca_cls,
                     ca_extra,
+                    tb_cls,
+                    tb_extra,
                 ),
             ),
             ("res", ResidualBlock(mid_ch, self.time_embed_dim, mid_ch)),
         ]
-        self.output_lists = _build_up_blocks(config, self.time_embed_dim, ca_cls, ca_extra)
+        self.output_lists = _build_up_blocks(
+            config, self.time_embed_dim, ca_cls, ca_extra, tb_cls, tb_extra
+        )
         self.out_norm = GroupNorm(32, config.hidden_dim, eps=1e-5)
         self.out_conv = Conv2d(config.hidden_dim, config.out_channels, 3, padding=1)
 
