@@ -99,6 +99,13 @@ def _stub_diffusers():
     ao_float8.float8_linear = ao_fp8_linear
     ao_fp8_linear.Float8Linear = Float8Linear
 
+    # timm: pulled in by the reference's models/auto.py (vision backbones)
+    if "timm" not in sys.modules:
+        timm = _module("timm")
+        timm.create_model = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("timm stub: not instantiable in tests")
+        )
+
 
 def import_reference(module: str):
     """Import e.g. 'src.modules.timestep.embedding' from the reference tree."""

@@ -52,6 +52,7 @@ def _str_to_dtype(name: str):
 
 class SDXLModel:
     denoiser_class: type[Denoiser] = Denoiser
+    text_encoder_class: type[TextEncoder] = TextEncoder
 
     def __init__(
         self,
@@ -66,7 +67,7 @@ class SDXLModel:
         backend = config.denoiser.attention_backend
         self.denoiser = self.denoiser_class(config.denoiser)
         self.vae = AutoencoderKL(vae_config or SDXL_VAE_CONFIG)
-        self.text_encoder = TextEncoder(
+        self.text_encoder = self.text_encoder_class(
             backend=backend,
             tokenizer=tokenizer,
             config_1=text_encoder_config_1,
@@ -289,6 +290,20 @@ class SDXLModel:
             max_token_length=max_token_length,
         )
         embeddings, pooled = self.prepare_encoder_hidden_states(encoder_output, do_cfg)
+        return self._generate_core(
+            embeddings, pooled, batch_size, height, width,
+            original_size, target_size, crop_coords_top_left,
+            timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
+        )
+
+    def _generate_core(
+        self, embeddings, pooled, batch_size, height, width,
+        original_size, target_size, crop_coords_top_left,
+        timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
+    ) -> list[Image.Image]:
+        """The denoise loop shared by the base model and the context-level
+        adapters (PFG / style tokenizer), which only differ in how
+        ``embeddings`` is produced."""
         embeddings = embeddings.astype(self.dtype)
         pooled = pooled.astype(self.dtype)
 

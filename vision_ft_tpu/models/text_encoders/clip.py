@@ -163,11 +163,28 @@ class CLIPTextModel(Module):
             }
         }
 
-    def __call__(self, params, input_ids: jax.Array):
+    def __call__(
+        self,
+        params,
+        input_ids: jax.Array,
+        style_embeddings: jax.Array = None,
+        style_token_id: int = None,
+    ):
         tm = params["text_model"]
         emb = tm["embeddings"]
         s = input_ids.shape[-1]
         x = self.embeddings["token_embedding"](emb["token_embedding"], input_ids)
+        if style_embeddings is not None:
+            # masked_scatter semantics (reference style_tokenizer adapter,
+            # src/models/sdxl/adapter/style_tokenizer.py:82-111): the k-th
+            # style-token position in flattened row-major order receives
+            # the k-th style vector
+            mask = input_ids == style_token_id
+            flat_mask = mask.reshape(-1)
+            source = style_embeddings.reshape(-1, x.shape[-1]).astype(x.dtype)
+            idx = jnp.clip(jnp.cumsum(flat_mask) - 1, 0, source.shape[0] - 1)
+            gathered = source[idx].reshape(*mask.shape, x.shape[-1])
+            x = jnp.where(mask[..., None], gathered, x)
         positions = jnp.arange(s)
         x = x + self.embeddings["position_embedding"](emb["position_embedding"], positions)
 
@@ -184,7 +201,14 @@ class CLIPTextModel(Module):
 
         last = self.final_layer_norm(tm["final_layer_norm"], x)
 
-        eos_positions = jnp.argmax(input_ids, axis=-1)
+        # first real-eos position. HF's eos_token_id==2 path uses
+        # argmax(input_ids) (highest id == real eos 49407); that breaks once
+        # added tokens (e.g. <|style|>, id >= 49408) enter the vocab, so
+        # match on the actual eos id (HF CLIP modeling, and the style
+        # adapter's explicit ==eos argmax, reference
+        # models/sdxl/adapter/style_tokenizer.py:336-349)
+        eos_id = self.config.vocab_size - 1  # 49407 for CLIP vocabs
+        eos_positions = jnp.argmax((input_ids == eos_id).astype(jnp.int32), axis=-1)
         pooled = jnp.take_along_axis(last, eos_positions[:, None, None], axis=1)[:, 0]
         return last, penultimate, pooled
 
@@ -203,7 +227,15 @@ class CLIPTextModelWithProjection(CLIPTextModel):
         params["text_projection"] = self.text_projection.init(k2, dtype)
         return params
 
-    def __call__(self, params, input_ids: jax.Array):
-        last, penultimate, pooled = super().__call__(params, input_ids)
+    def __call__(
+        self,
+        params,
+        input_ids: jax.Array,
+        style_embeddings: jax.Array = None,
+        style_token_id: int = None,
+    ):
+        last, penultimate, pooled = super().__call__(
+            params, input_ids, style_embeddings, style_token_id
+        )
         text_embeds = self.text_projection(params["text_projection"], pooled)
         return last, penultimate, text_embeds

@@ -64,6 +64,9 @@ class CLIPTokenizer:
         self.bos_token_id = encoder.get("<|startoftext|>", 49406)
         self.eos_token_id = encoder.get("<|endoftext|>", 49407)
         self.pad_token_id = self.eos_token_id  # CLIP pads with eos
+        # added special tokens (HF add_tokens analogue; style tokenizer
+        # adapter registers <|style|> here)
+        self.added_tokens: dict[str, int] = {}
 
     # -- constructors -------------------------------------------------------
 
@@ -123,12 +126,42 @@ class CLIPTokenizer:
         self.cache[token] = out
         return out
 
-    def encode(self, text: str) -> list[int]:
+    def __len__(self) -> int:
+        return len(self.encoder) + len(self.added_tokens)
+
+    def add_tokens(self, token: str, special_tokens: bool = True) -> int:
+        """Register an added special token (HF tokenizer add_tokens
+        analogue). Returns the number of tokens added (0 if present)."""
+        if token in self.added_tokens or token in self.encoder:
+            return 0
+        self.added_tokens[token] = len(self.encoder) + len(self.added_tokens)
+        return 1
+
+    def convert_tokens_to_ids(self, token: str) -> int:
+        if token in self.added_tokens:
+            return self.added_tokens[token]
+        return self.encoder[token]
+
+    def _encode_bpe(self, text: str) -> list[int]:
         ids: list[int] = []
-        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         for token in _TOKEN_PATTERN.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        if not self.added_tokens:
+            return self._encode_bpe(text)
+        # split on added special tokens first — they bypass BPE
+        pattern = "(" + "|".join(re.escape(t.lower()) for t in self.added_tokens) + ")"
+        lowered = {t.lower(): i for t, i in self.added_tokens.items()}
+        ids: list[int] = []
+        for piece in re.split(pattern, text):
+            if piece in lowered:
+                ids.append(lowered[piece])
+            elif piece:
+                ids.extend(self._encode_bpe(piece))
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
