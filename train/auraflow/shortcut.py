@@ -1,0 +1,28 @@
+"""AuraFlow shortcut training CLI.
+
+Reference entry point: /root/reference/train/auraflow/shortcut.py (bottom).
+Usage: python train/auraflow/shortcut.py --config configs/auraflow/xxx.yml
+"""
+
+import click
+
+from vision_ft_tpu.config import TrainConfig
+from vision_ft_tpu.dataset.preview import TextToImagePreviewConfig
+from vision_ft_tpu.dataset.text_to_image import TextToImageDatasetConfig
+from vision_ft_tpu.models.auraflow.train_shortcut import AuraFlowForShortcutTraining
+from vision_ft_tpu.trainer import Trainer
+
+
+@click.command()
+@click.option("--config", type=str, required=True)
+def main(config: str):
+    _config = TrainConfig.from_config_file(config)
+    trainer = Trainer(_config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_preview_dataset_class(TextToImagePreviewConfig)
+    trainer.register_model_class(AuraFlowForShortcutTraining)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

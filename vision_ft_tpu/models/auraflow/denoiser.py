@@ -404,6 +404,20 @@ class MMDiT(Module):
         idx = self.pe_selection_index_based_on_dim(h, w)
         return params["positional_encoding"][:, idx]
 
+    def _rope_freqs(self, cond_len: int, height: int, width: int) -> jax.Array:
+        text_idx = self.rope_frequency.get_text_position_indices(cond_len)
+        image_idx = self.rope_frequency.get_image_position_indices(height, width)
+        return self.rope_frequency(np.concatenate([text_idx, image_idx], axis=0))
+
+    def _position_encoding(self, params, patches, cond_len: int, height: int, width: int):
+        """(patches, rope_freqs) for this resolution."""
+        if self.rope_frequency is not None:
+            return patches, self._rope_freqs(cond_len, height, width)
+        patches = patches + self.get_pos_encoding(params, height, width).astype(
+            patches.dtype
+        )
+        return patches, None
+
     # -- forward ----------------------------------------------------------------
 
     def __call__(
@@ -444,16 +458,11 @@ class MMDiT(Module):
         patches = patchify(latent, self.patch_size)
         patches = self.init_x_linear(params["init_x_linear"], patches)
 
-        # 3.5 positional encoding
-        if self.rope_frequency is not None:
-            text_idx = self.rope_frequency.get_text_position_indices(cond_tokens.shape[1])
-            image_idx = self.rope_frequency.get_image_position_indices(height, width)
-            rope_freqs = self.rope_frequency(np.concatenate([text_idx, image_idx], axis=0))
-        else:
-            patches = patches + self.get_pos_encoding(params, height, width).astype(
-                patches.dtype
-            )
-            rope_freqs = None
+        # 3.5 positional encoding (overridable — the RoPE-migration trainer
+        # blends learned PE with RoPE here)
+        patches, rope_freqs = self._position_encoding(
+            params, patches, cond_tokens.shape[1], height, width
+        )
 
         # 4. double layers
         for i, layer in enumerate(self.double_layers):

@@ -62,6 +62,12 @@ class ModelForTraining(ABC):
         train/sdxl/text_to_image.py:34-42)."""
         return path.startswith("denoiser.")
 
+    def peft_extra_trainable_filter(self, path: str) -> bool:
+        """Paths that stay FULLY trainable even under a PEFT config (e.g.
+        the shortcut embedder, reference train/auraflow/shortcut.py:294-305
+        asserts it trains alongside LoRA). Default: none."""
+        return False
+
     def load_peft_weights(self) -> None:
         """Resume adapters (reference PeftTargetConfig.resume_weight_path)."""
         from ..modules.peft import load_peft_weight

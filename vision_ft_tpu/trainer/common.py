@@ -187,7 +187,23 @@ class Trainer:
         """(trainable, frozen) from the model's full params."""
         params = self.model.get_params()
         if self.model._is_peft:
-            return split_peft_params(params)
+            trainable, frozen = split_peft_params(params)
+            extra = {
+                k: v
+                for k, v in flatten_params(frozen).items()
+                if self.model.peft_extra_trainable_filter(k)
+            }
+            if extra:
+                frozen_flat = {
+                    k: v
+                    for k, v in flatten_params(frozen).items()
+                    if k not in extra
+                }
+                trainable = unflatten_params(
+                    {**flatten_params(trainable), **extra}
+                )
+                frozen = unflatten_params(frozen_flat)
+            return trainable, frozen
         flat = flatten_params(params)
         trainable = {k: v for k, v in flat.items() if self.model.trainable_filter(k)}
         frozen = {k: v for k, v in flat.items() if not self.model.trainable_filter(k)}
