@@ -63,6 +63,9 @@ class SDXLIPAdapterTraining(ModelForTraining):
     model_config_class = SDXLModelWithIPAdapterTrainingConfig
 
     self_reference: bool = False
+    # ref mode rides the context tail; self/kyara modes pass ip tokens
+    # through cross_attention_kwargs (with optional token tail-drop)
+    tokens_via_cross_attention: bool = False
 
     def __init__(self, trainer, config: TrainConfig, tokenizer=None, image_encoder=None):
         self.tokenizer = tokenizer
@@ -170,7 +173,7 @@ class SDXLIPAdapterTraining(ModelForTraining):
         }
 
         self._tokens_to_keep = None
-        if self.self_reference and self.model_config.token_tail_drop:
+        if self.tokens_via_cross_attention and self.model_config.token_tail_drop:
             if np.random.rand() < self.model_config.token_tail_drop_rate:
                 self._tokens_to_keep = int(
                     np.random.randint(1, self.model_config.adapter.num_ip_tokens + 1)
@@ -218,7 +221,7 @@ class SDXLIPAdapterTraining(ModelForTraining):
         ip_tokens = ip_tokens * (1.0 - batch["drop_image"])[:, None, None]
 
         cross_attention_kwargs = None
-        if self.self_reference:
+        if self.tokens_via_cross_attention:
             ip_mask = None
             if self._tokens_to_keep is not None:
                 keep = self._tokens_to_keep
@@ -273,3 +276,14 @@ class SDXLIPAdapterSelfTraining(SDXLIPAdapterTraining):
     """Self-reference mode (ip_adapter.self.py)."""
 
     self_reference = True
+    tokens_via_cross_attention = True
+
+
+class SDXLIPAdapterKyaraTraining(SDXLIPAdapterTraining):
+    """Kyara mode (ip_adapter.kyara.py): dataset-provided cropped
+    character references (already normalized by the Kyara dataset), ip
+    tokens through cross_attention_kwargs with token tail-drop, no random
+    image drop."""
+
+    self_reference = False
+    tokens_via_cross_attention = True
