@@ -170,3 +170,69 @@ def test_debug_modes(tmp_path, data_folder, capsys):
     out = capsys.readouterr().out
     assert "Sanity check done" in out
     assert "Dataset check done" in out
+
+
+def test_cached_latents_and_text_embeddings(tmp_path, data_folder):
+    config = _make_config(
+        tmp_path, data_folder,
+        model={
+            "checkpoint_path": "", "dtype": "float32", "max_token_length": 75,
+            "cache_latents": True, "cache_text_embeddings": True,
+            "denoiser": {
+                "hidden_dim": 32, "num_head_channels": 8, "context_dim": 64 + 48,
+                "block_out_channels": [32, 64, 64],
+                "num_transformers_per_block": [1, 1, 1],
+            },
+        },
+    )
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_model_class(TinySDXLTraining)
+    trainer.train()
+    # caches populated; text cache hit on epoch 2 (16 unique captions)
+    assert len(trainer.model._text_cache) == 16
+    assert len(trainer.model._latent_cache) >= 16
+    files = sorted((tmp_path / "out").glob("*.safetensors"))
+    assert files
+    sd = st.load_file(files[-1])
+    ups = [np.asarray(v) for k, v in sd.items() if k.endswith(".lora_up.weight")]
+    assert any(np.abs(u).max() > 0 for u in ups)
+
+
+def test_state_checkpoint_save_and_resume(tmp_path, data_folder):
+    ckpt_dir = str(tmp_path / "state")
+    config = _make_config(
+        tmp_path, data_folder,
+        num_train_epochs=1,
+        trainer={
+            "gradient_accumulation_steps": 1,
+            "state_checkpoint_dir": ckpt_dir,
+            "state_checkpoint_every_steps": 1,
+        },
+    )
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_model_class(TinySDXLTraining)
+    trainer.train()
+
+    from vision_ft_tpu.training.state_checkpoint import (
+        latest_checkpoint_step,
+        restore_train_state,
+    )
+
+    last = latest_checkpoint_step(ckpt_dir)
+    assert last is not None and last >= 1
+
+    # a fresh trainer restores the step counter and the trained params
+    trainer2 = Trainer(config)
+    trainer2.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer2.register_model_class(TinySDXLTraining)
+    trainer2.before_train()
+    restored = restore_train_state(ckpt_dir, trainer2.trainable, trainer2.opt_state)
+    assert restored is not None
+    step0, trainable, _opt = restored
+    assert step0 == last
+    trained = flatten_params(trainer.trainable)
+    loaded = flatten_params(trainable)
+    for k in trained:
+        np.testing.assert_array_equal(np.asarray(trained[k]), np.asarray(loaded[k]))

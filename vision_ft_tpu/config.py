@@ -85,6 +85,26 @@ class TrainerConfig(BaseModel):
 
     mesh: MeshConfigSchema = MeshConfigSchema()
 
+    # -- TPU-side auxiliary subsystems (SURVEY.md §5.1-5.3; the reference
+    # has no tracing/NaN-checking/train-state checkpointing) -------------
+    # jax.profiler trace capture over steps [profile_start_step,
+    # profile_stop_step) written to profile_dir
+    profile: bool = False
+    profile_dir: str = "profiles"
+    profile_start_step: int = 1
+    profile_stop_step: int = 3
+
+    # jax NaN checking (jax.config jax_debug_nans): every jitted step
+    # re-runs un-jitted on NaN and raises at the producing primitive
+    debug_nans: bool = False
+
+    # Orbax full train-state checkpointing (trainable params + optimizer
+    # state + step) for preemption recovery — the reference never
+    # checkpoints optimizer state (SURVEY.md §5.3)
+    state_checkpoint_dir: Optional[str] = None
+    state_checkpoint_every_steps: int = 100
+    resume_from_state_checkpoint: bool = True
+
 
 class TrainConfig(BaseModel):
     model: Union[dict, BaseModel]

@@ -37,6 +37,14 @@ from .util import convert_to_comfy_key
 class SDXLForTextToImageTrainingConfig(SDXLConfig):
     max_token_length: int = 225  # 75 * 3
 
+    # TPU-side throughput extras (BASELINE.md tracked config #2 "cached
+    # latents"): content-hash caches of frozen-encoder outputs, filled on
+    # first sight and reused across epochs/repeats. Latents cache with the
+    # VAE's deterministic mode() (kohya-style); text embeddings key on the
+    # caption string — near-100% hit rate since captions are static.
+    cache_latents: bool = False
+    cache_text_embeddings: bool = False
+
 
 def _default_tokenizer():
     """Load the native CLIP BPE tokenizer from local assets if available
@@ -56,6 +64,10 @@ class SDXLForTextToImageTraining(ModelForTraining):
 
     def __init__(self, trainer, config: TrainConfig, tokenizer=None) -> None:
         self.tokenizer = tokenizer
+        self._latent_cache: dict = {}
+        self._text_cache: dict = {}
+        self._jit_encode_latents = None
+        self._jit_encode_text = None
         super().__init__(trainer, config)
 
     def before_setup_model(self) -> None:
@@ -92,7 +104,65 @@ class SDXLForTextToImageTraining(ModelForTraining):
 
     # -- data ------------------------------------------------------------------
 
+    # -- frozen-encoder caches (config #2 "cached latents") ----------------------
+
+    def _cached_latents(self, pixel_values: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        if self._jit_encode_latents is None:
+            model = self.model
+
+            def encode(vae_params, pixels):
+                dist = model.vae.encode(vae_params, pixels.astype(model.dtype))
+                return (dist.mode() * model.vae.scaling_factor).astype(model.dtype)
+
+            self._jit_encode_latents = jax.jit(encode)
+
+        keys = [
+            hashlib.blake2b(row.tobytes(), digest_size=16).digest()
+            for row in pixel_values
+        ]
+        missing = [i for i, k in enumerate(keys) if k not in self._latent_cache]
+        if missing:
+            encoded = np.asarray(
+                self._jit_encode_latents(
+                    self.model.params["vae"], jnp.asarray(pixel_values[missing])
+                ),
+                np.float32,
+            )
+            for j, i in enumerate(missing):
+                self._latent_cache[keys[i]] = encoded[j]
+        return np.stack([self._latent_cache[k] for k in keys])
+
+    def _cached_text_embeddings(self, captions: list[str], ids: np.ndarray):
+        if self._jit_encode_text is None:
+            model = self.model
+
+            def encode(te_params, input_ids, batch):
+                emb1, emb2, pooled = model.text_encoder.encode_tokens(
+                    te_params, input_ids, input_ids, batch
+                )
+                ctx = jnp.concatenate([emb1, emb2], axis=-1).astype(model.dtype)
+                return ctx, pooled.astype(model.dtype)
+
+            self._jit_encode_text = jax.jit(encode, static_argnums=(2,))
+
+        batch = len(captions)
+        cache_keys = [(c, self.model_config.max_token_length) for c in captions]
+        missing = [i for i, k in enumerate(cache_keys) if k not in self._text_cache]
+        if missing:
+            # encode the full batch once (static shape); store all rows
+            ctx, pooled = self._jit_encode_text(
+                self.model.params["text_encoder"], jnp.asarray(ids), batch
+            )
+            ctx, pooled = np.asarray(ctx, np.float32), np.asarray(pooled, np.float32)
+            for i in range(batch):
+                self._text_cache[cache_keys[i]] = (ctx[i], pooled[i])
+        rows = [self._text_cache[k] for k in cache_keys]
+        return np.stack([r[0] for r in rows]), np.stack([r[1] for r in rows])
+
     def preprocess_batch(self, batch: dict) -> dict:
+        cfg = self.model_config
         captions = [
             self.model.text_encoder.escape_exclamation(c) for c in batch["caption"]
         ]
@@ -102,16 +172,26 @@ class SDXLForTextToImageTraining(ModelForTraining):
         ids, _mask = tokenize_long_prompt(
             tokenizer,
             captions,
-            max_length=self.model_config.max_token_length,
+            max_length=cfg.max_token_length,
             chunk_length=CHUNK_LENGTH,
         )
-        return {
-            "pixel_values": np.asarray(batch["image"], np.float32),
-            "input_ids": np.asarray(ids),
+        pixel_values = np.asarray(batch["image"], np.float32)
+        out = {
             "original_size": np.asarray(batch["original_size"], np.float32),
             "target_size": np.asarray(batch["target_size"], np.float32),
             "crop_coords_top_left": np.asarray(batch["crop_coords_top_left"], np.float32),
         }
+        if cfg.cache_latents:
+            out["cached_latents"] = self._cached_latents(pixel_values)
+        else:
+            out["pixel_values"] = pixel_values
+        if cfg.cache_text_embeddings:
+            ctx, pooled = self._cached_text_embeddings(captions, np.asarray(ids))
+            out["cached_context"] = ctx
+            out["cached_pooled"] = pooled
+        else:
+            out["input_ids"] = np.asarray(ids)
+        return out
 
     # -- loss ------------------------------------------------------------------
 
@@ -119,22 +199,31 @@ class SDXLForTextToImageTraining(ModelForTraining):
         params = merge_params(frozen, trainable)
         model = self.model
         dtype = model.dtype
-        batch_size = batch["pixel_values"].shape[0]
+        batch_size = batch["original_size"].shape[0]
         k_vae, k_t, k_noise = jax.random.split(key, 3)
 
         # 1. inputs — frozen encoders behind stop_gradient (reference
-        #    no_grad blocks, train/sdxl/text_to_image.py:99-122)
-        emb1, emb2, pooled = model.text_encoder.encode_tokens(
-            params["text_encoder"], batch["input_ids"], batch["input_ids"], batch_size
-        )
-        context = jax.lax.stop_gradient(
-            jnp.concatenate([emb1, emb2], axis=-1).astype(dtype)
-        )
-        pooled = jax.lax.stop_gradient(pooled.astype(dtype))
+        #    no_grad blocks, train/sdxl/text_to_image.py:99-122), or the
+        #    precomputed caches when enabled
+        if "cached_context" in batch:
+            context = jax.lax.stop_gradient(batch["cached_context"].astype(dtype))
+            pooled = jax.lax.stop_gradient(batch["cached_pooled"].astype(dtype))
+        else:
+            emb1, emb2, pooled = model.text_encoder.encode_tokens(
+                params["text_encoder"], batch["input_ids"], batch["input_ids"],
+                batch_size,
+            )
+            context = jax.lax.stop_gradient(
+                jnp.concatenate([emb1, emb2], axis=-1).astype(dtype)
+            )
+            pooled = jax.lax.stop_gradient(pooled.astype(dtype))
 
-        dist = model.vae.encode(params["vae"], batch["pixel_values"].astype(dtype))
-        latents = dist.sample(k_vae) * model.vae.scaling_factor
-        latents = jax.lax.stop_gradient(latents.astype(dtype))
+        if "cached_latents" in batch:
+            latents = jax.lax.stop_gradient(batch["cached_latents"].astype(dtype))
+        else:
+            dist = model.vae.encode(params["vae"], batch["pixel_values"].astype(dtype))
+            latents = dist.sample(k_vae) * model.vae.scaling_factor
+            latents = jax.lax.stop_gradient(latents.astype(dtype))
 
         timesteps = uniform_randint(k_t, latents.shape, 0, 1000)
 

@@ -313,12 +313,28 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         grads_acc = None
 
+        tcfg = self.config.trainer
+        # resume trainable params + optimizer state (SURVEY.md §5.3 extra;
+        # the data stream restarts — only the state is recovered)
+        if tcfg.state_checkpoint_dir and tcfg.resume_from_state_checkpoint:
+            from ..training.state_checkpoint import restore_train_state
+
+            restored = restore_train_state(
+                tcfg.state_checkpoint_dir, self.trainable, self.opt_state
+            )
+            if restored is not None:
+                step0, self.trainable, self.opt_state = restored
+                current_step = step0
+                self.print(f"Resumed train state from step {step0}")
+
         for epoch in range(1, self.config.num_train_epochs + 1):
             self.model.before_train_epoch()
             self.train_dataloader.set_epoch(epoch - 1)
 
             for batch in self.train_dataloader:
                 current_step += 1
+                if tcfg.profile and current_step == tcfg.profile_start_step:
+                    jax.profiler.start_trace(tcfg.profile_dir)
                 self.model.before_train_step()
 
                 host_batch = self.model.preprocess_batch(batch)
@@ -355,6 +371,22 @@ class Trainer:
                 self.call_saving_callbacks(epoch, current_step)
                 self.call_preview_callbacks(epoch, current_step)
                 self.model.after_train_step()
+
+                if tcfg.profile and current_step == tcfg.profile_stop_step:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    self.print(f"Profiler trace written to {tcfg.profile_dir}")
+                if (
+                    tcfg.state_checkpoint_dir
+                    and current_step % tcfg.state_checkpoint_every_steps == 0
+                    and is_main_process()
+                ):
+                    from ..training.state_checkpoint import save_train_state
+
+                    save_train_state(
+                        tcfg.state_checkpoint_dir, current_step,
+                        self.trainable, self.opt_state,
+                    )
 
                 if self.debug_mode == "1step":
                     break
@@ -425,6 +457,10 @@ class Trainer:
     # -- entry ---------------------------------------------------------------
 
     def train(self) -> None:
+        if self.config.trainer.debug_nans:
+            # SURVEY.md §5.2: the jax sanitizer analogue — jitted steps
+            # re-run un-jitted on NaN and raise at the producing primitive
+            jax.config.update("jax_debug_nans", True)
         self.before_train()
         if self.debug_mode == "dataset":
             return

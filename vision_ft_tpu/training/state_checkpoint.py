@@ -1,0 +1,65 @@
+"""Orbax full train-state checkpointing (SURVEY.md §5.3 extra).
+
+The reference never checkpoints optimizer state — resume means reloading
+adapter weights only. On TPU pods preemption is routine, so the Trainer
+can periodically persist {trainable params, optax state, step} and
+restore them on startup (``trainer.state_checkpoint_dir``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(
+    directory: str, step: int, trainable: Any, opt_state: Any
+) -> str:
+    """Write the state under <directory>/step_<N>; returns the path.
+    Previous step dirs are kept (pruning is the operator's call)."""
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    state = {
+        "step": step,
+        "trainable": trainable,
+        "opt_state": opt_state,
+    }
+    _checkpointer().save(path, state, force=True)
+    return path
+
+
+def latest_checkpoint_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None
+
+
+def restore_train_state(
+    directory: str, trainable_like: Any, opt_state_like: Any
+) -> Optional[tuple[int, Any, Any]]:
+    """Restore the newest step_<N> state; None if absent. The *_like
+    arguments provide the pytree structure/shape/dtype targets."""
+    step = latest_checkpoint_step(directory)
+    if step is None:
+        return None
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    target = {
+        "step": step,
+        "trainable": trainable_like,
+        "opt_state": opt_state_like,
+    }
+    restored = _checkpointer().restore(path, item=target)
+    return int(restored["step"]), restored["trainable"], restored["opt_state"]
