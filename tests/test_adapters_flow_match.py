@@ -94,10 +94,15 @@ def test_migration_scale():
     # rezero on load
     rezeroed = MigrationScaleFromZero.rezero({"scale": jnp.asarray([0.7])})
     assert float(rezeroed["scale"][0]) == 0.0
-    # gradient flows below threshold, stops at/after threshold
+    # no freezing_threshold -> gradient always flows (reference scale.py:21-28)
     grad_fn = jax.grad(lambda p: jnp.sum(module(p, old, new)))
     assert abs(float(grad_fn({"scale": jnp.asarray([0.5])})["scale"][0])) > 0
-    assert float(grad_fn({"scale": jnp.asarray([1.0])})["scale"][0]) == 0.0
+    assert abs(float(grad_fn({"scale": jnp.asarray([1.0])})["scale"][0])) > 0
+    # with a threshold, the blend freezes (detaches) once |1 - s| < eps
+    frozen_module = MigrationScaleFromZero(freezing_threshold=1e-3)
+    frozen_grad = jax.grad(lambda p: jnp.sum(frozen_module(p, old, new)))
+    assert float(frozen_grad({"scale": jnp.asarray([0.9999])})["scale"][0]) == 0.0
+    assert abs(float(frozen_grad({"scale": jnp.asarray([0.5])})["scale"][0])) > 0
 
 
 def test_layerwise_offload_strategy():
