@@ -293,7 +293,7 @@ class Conv2d(Module):
         out = None
         for dy in range(3):
             for dx in range(3):
-                patch = lax.dynamic_slice(xp, (0, dy, dx, 0), (b, hh, ww, c))
+                patch = xp[:, dy : dy + hh, dx : dx + ww, :]
                 term = jnp.einsum(
                     "bhwc,co->bhwo", patch, whwio[dy, dx],
                     preferred_element_type=jnp.float32,
@@ -321,6 +321,21 @@ class LayerNorm(Module):
         return params
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if (
+            x.dtype == jnp.bfloat16
+            and "weight" in params
+            and self.dim % 128 == 0
+            and x.ndim >= 2
+            and jax.default_backend() == "tpu"
+        ):
+            # fused Pallas LN: one VMEM pass instead of XLA's
+            # convert+reduce / normalize fusion pair (~20ms/step saved
+            # across an SDXL UNet's ~210 LayerNorms on v5e)
+            from ..ops.pallas.layer_norm import layer_norm_tpu
+
+            return layer_norm_tpu(
+                x, params["weight"], params.get("bias"), self.eps
+            )
         orig_dtype = x.dtype
         h = x.astype(jnp.float32)
         mean = jnp.mean(h, axis=-1, keepdims=True)
@@ -375,14 +390,24 @@ class GroupNorm(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         # x: (..., H, W, C) — stats over all spatial dims and the channels
-        # within a group.
+        # within a group. Reductions run over the SPATIAL axes with C on
+        # the TPU lane dimension; reshaping to (..., g, c//g) first would
+        # put c//g (often ~10) on the lanes and waste >90% of the VPU
+        # (measured: 26ms -> ~6ms of GroupNorm stats per SDXL UNet step).
         orig_dtype = x.dtype
         *lead, c = x.shape
         g = self.num_groups
-        h = x.astype(jnp.float32).reshape(x.shape[0], -1, g, c // g)
-        mean = jnp.mean(h, axis=(1, 3), keepdims=True)
-        var = jnp.mean(jnp.square(h - mean), axis=(1, 3), keepdims=True)
-        h = (h - mean) * lax.rsqrt(var + self.eps)
+        b = x.shape[0]
+        hf = x.astype(jnp.float32).reshape(b, -1, c)
+        spatial = hf.shape[1]
+        # two-pass per-channel stats, then combine within groups
+        sum_c = jnp.sum(hf, axis=1)  # (B, C)
+        mean_g = jnp.mean(sum_c.reshape(b, g, c // g), axis=-1) / spatial  # (B, g)
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)  # (B, C), group mean per channel
+        sqdiff_c = jnp.sum(jnp.square(hf - mean_c[:, None, :]), axis=1)  # (B, C)
+        var_g = jnp.mean(sqdiff_c.reshape(b, g, c // g), axis=-1) / spatial
+        var_c = jnp.repeat(var_g, c // g, axis=-1)  # (B, C)
+        h = (hf - mean_c[:, None, :]) * lax.rsqrt(var_c + self.eps)[:, None, :]
         h = h.reshape(x.shape)
         if "weight" in params:
             h = h * params["weight"].astype(jnp.float32)
