@@ -93,3 +93,56 @@ def test_inference_server_validation(server):
     with pytest.raises(urllib.error.HTTPError) as excinfo:
         urllib.request.urlopen(req)
     assert excinfo.value.code == 422
+
+
+def _cpu_env():
+    import os
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def test_to_safetensors_tool(tmp_path):
+    import subprocess
+    import sys
+
+    import torch
+
+    from vision_ft_tpu.utils import safetensors as st
+
+    pt_path = str(tmp_path / "model.pt")
+    torch.save({"layer.weight": torch.ones(3, 4), "layer.bias": torch.zeros(3)}, pt_path)
+    out_path = str(tmp_path / "model.safetensors")
+    result = subprocess.run(
+        [sys.executable, "tools/checkpoint/to_safetensors.py", pt_path, out_path],
+        capture_output=True, text=True, env=_cpu_env(),
+    )
+    assert result.returncode == 0, result.stderr
+    sd = st.load_file(out_path)
+    assert set(sd) == {"layer.weight", "layer.bias"}
+    np.testing.assert_array_equal(np.asarray(sd["layer.weight"]), 1.0)
+
+
+def test_snapshot_max_memory_tool():
+    import subprocess
+    import sys
+
+    result = subprocess.run(
+        [sys.executable, "tools/snapshot_max_memory.py"],
+        capture_output=True, text=True, env=_cpu_env(),
+    )
+    assert result.returncode == 0, result.stderr
+    assert "peak_bytes_in_use" in result.stdout
+
+
+def test_cogview4_quant_compare_imports():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cogview4_quant_compare", "tools/cogview4_quant_compare.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.quantize_model)
