@@ -236,3 +236,30 @@ def test_state_checkpoint_save_and_resume(tmp_path, data_folder):
     loaded = flatten_params(trainable)
     for k in trained:
         np.testing.assert_array_equal(np.asarray(trained[k]), np.asarray(loaded[k]))
+
+
+def test_dataloader_prefetch_matches_sync(tmp_path, data_folder):
+    from vision_ft_tpu.dataloader import DataLoader, concatnate_collate_fn
+
+    class SlowDataset:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            import time
+
+            time.sleep(0.01)
+            return {"x": np.full((2, 3), i, np.float32), "caption": [f"c{i}"]}
+
+    sync = DataLoader(SlowDataset(), shuffle=True, seed=7,
+                      collate_fn=concatnate_collate_fn, num_workers=0)
+    threaded = DataLoader(SlowDataset(), shuffle=True, seed=7,
+                          collate_fn=concatnate_collate_fn, num_workers=4)
+    sync.set_epoch(3)
+    threaded.set_epoch(3)
+    a = list(sync)
+    b = list(threaded)
+    assert len(a) == len(b) == 12
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["x"], bb["x"])
+        assert ba["caption"] == bb["caption"]

@@ -65,6 +65,8 @@ class DataLoader:
         seed: int = 0,
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
+        prefetch_factor: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -75,6 +77,11 @@ class DataLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        # threaded prefetch (the jax-host analogue of torch DataLoader
+        # workers): PIL/zlib decode releases the GIL, so a small thread
+        # pool overlaps image decode with device compute
+        self.num_workers = num_workers
+        self.prefetch_factor = max(prefetch_factor, 1)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -92,13 +99,41 @@ class DataLoader:
             return per_proc // self.batch_size
         return (per_proc + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[dict]:
+    def _chunks(self) -> list[list[int]]:
         indices = self._indices()
+        chunks = []
         for start in range(0, len(indices), self.batch_size):
             chunk = indices[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield self.collate_fn([self.dataset[i] for i in chunk])
+            chunks.append(chunk)
+        return chunks
+
+    def __iter__(self) -> Iterator[dict]:
+        chunks = self._chunks()
+        if self.num_workers <= 0:
+            for chunk in chunks:
+                yield self.collate_fn([self.dataset[i] for i in chunk])
+            return
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window: deque = deque()
+            it = iter(chunks)
+            depth = self.prefetch_factor + 1
+            for chunk in chunks[:depth]:
+                next(it)
+                window.append([pool.submit(self.dataset.__getitem__, i) for i in chunk])
+            while window:
+                futures = window.popleft()
+                upcoming = next(it, None)
+                if upcoming is not None:
+                    window.append(
+                        [pool.submit(self.dataset.__getitem__, i) for i in upcoming]
+                    )
+                yield self.collate_fn([f.result() for f in futures])
 
 
 def get_dataloader(
@@ -121,6 +156,7 @@ def get_dataloader(
         seed=seed,
         process_index=process_index,
         process_count=process_count,
+        num_workers=num_workers,
     )
 
 
@@ -143,6 +179,7 @@ def get_dataloader_for_bucketing(
         seed=seed,
         process_index=process_index,
         process_count=process_count,
+        num_workers=num_workers,
     )
 
 

@@ -123,6 +123,7 @@ class Trainer:
             seed=self.seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            num_workers=getattr(self.dataset_config, "num_workers", 0),
         )
         if self.config.preview is not None and self.preview_dataset_config is not None:
             self.print("Preview config found. Preparing preview dataloader...")
