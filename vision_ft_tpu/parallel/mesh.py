@@ -70,12 +70,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int) -> P:
-    """Shard the largest divisible axis over 'fsdp'; replicate otherwise."""
+def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int, taken: Optional[int] = None) -> P:
+    """Shard the largest divisible axis over 'fsdp'; replicate otherwise.
+    ``taken`` marks an axis already claimed by the tensor dimension."""
     if fsdp_size <= 1 or not shape:
         return P()
     order = sorted(range(len(shape)), key=lambda i: -shape[i])
     for axis in order:
+        if axis == taken:
+            continue
         if shape[axis] % fsdp_size == 0 and shape[axis] >= fsdp_size * 2:
             spec = [None] * len(shape)
             spec[axis] = "fsdp"
@@ -83,16 +86,63 @@ def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int) -> P:
     return P()
 
 
+# Megatron-style tensor-parallel split by leaf name (torch Linear layout
+# (out_features, in_features)): column-parallel projections shard
+# out_features, row-parallel output projections shard in_features so the
+# contraction carries the partial sums and XLA inserts the psum.
+_TP_COLUMN = (
+    "to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "q", "k", "v",
+    "fc1", "proj", "w1q", "w1k", "w1v", "w2q", "w2k", "w2v", "gate_up_proj",
+    "lora_down",
+)
+_TP_ROW = (
+    "to_out", "out_proj", "o_proj", "o", "fc2", "w1o", "w2o", "down_proj",
+    "lora_up",
+)
+
+
+def _tp_axis(path: tuple[str, ...], shape: tuple[int, ...], tp_size: int):
+    """The param axis carried by the 'tensor' mesh axis, or None."""
+    if tp_size <= 1 or len(shape) != 2:
+        return None
+    names = [p for p in path if not p.isdigit()]
+    if not names or names[-1] != "weight" or len(names) < 2:
+        return None
+    owner = names[-2]
+    if owner in _TP_COLUMN and shape[0] % tp_size == 0:
+        return 0
+    if owner in _TP_ROW and shape[1] % tp_size == 0:
+        return 1
+    return None
+
+
 def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree for params: fsdp-sharded if the mesh has an fsdp
-    axis >1, else fully replicated (reference DDP semantics)."""
+    """NamedSharding pytree for params.
+
+    - mesh tensor axis >1: Megatron-style column/row split of attention
+      and MLP projection weights (by leaf name), everything else follows
+      the fsdp rule.
+    - mesh fsdp axis >1: ZeRO-3-style largest-divisible-axis sharding.
+    - otherwise fully replicated (reference DDP semantics).
+    """
     fsdp_size = mesh.shape.get("fsdp", 1)
+    tp_size = mesh.shape.get("tensor", 1)
 
-    def one(x) -> NamedSharding:
-        shape = getattr(x, "shape", ())
-        return NamedSharding(mesh, _fsdp_spec(tuple(shape), fsdp_size))
+    def one(path, x) -> NamedSharding:
+        shape = tuple(getattr(x, "shape", ()))
+        key_path = tuple(
+            getattr(k, "key", getattr(k, "name", str(getattr(k, "idx", k))))
+            for k in path
+        )
+        tp_axis = _tp_axis(tuple(str(k) for k in key_path), shape, tp_size)
+        base = _fsdp_spec(shape, fsdp_size, taken=tp_axis)
+        if tp_axis is None:
+            return NamedSharding(mesh, base)
+        spec = list(base) + [None] * (len(shape) - len(base))
+        spec[tp_axis] = "tensor"
+        return NamedSharding(mesh, P(*spec))
 
-    return jax.tree.map(one, params)
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:
