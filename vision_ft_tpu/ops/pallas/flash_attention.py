@@ -378,7 +378,10 @@ def flash_attention_tpu(
     if scale is None:
         scale = d**-0.5
 
-    d_pad = _round_up(d, 128)
+    # head_dim stays unpadded when tileable — Mosaic pads the VMEM lane
+    # tiles implicitly, so materializing a 128-lane q/k/v in HBM (2x
+    # traffic for SDXL's d=64) buys nothing
+    d_pad = d if d % 8 == 0 else _round_up(d, 128)
     block_q = min(BLOCK_Q, _round_up(sq, 128))
     block_k = min(BLOCK_K, _round_up(sk, 128))
     sq_pad = _round_up(sq, block_q)
