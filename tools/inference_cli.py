@@ -44,6 +44,29 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 
         config = Lumina2Config(checkpoint_path=checkpoint_path)
         model = Lumina2.from_checkpoint(config, tokenizer=tokenizer)
+    elif family == "cogview4":
+        from vision_ft_tpu.models.cogview4.config import CogView4Config
+        from vision_ft_tpu.models.cogview4.pipeline import CogView4Model
+
+        config = CogView4Config(checkpoint_path=checkpoint_path)
+        model = CogView4Model.from_checkpoint(config, tokenizer=tokenizer)
+    elif family == "flux":
+        # tokenizer is the T5 one; the CLIP tokenizer loads from the same
+        # dir's clip/ subfolder when present
+        import os
+
+        from vision_ft_tpu.models.flux.config import FluxConfig
+        from vision_ft_tpu.models.flux.pipeline import FluxModel
+        from vision_ft_tpu.models.text_encoders.tokenizer import CLIPTokenizer
+
+        clip_tok = None
+        base = getattr(tokenizer, "name_or_path", None)
+        if base and os.path.isdir(os.path.join(str(base), "clip")):
+            clip_tok = CLIPTokenizer.from_pretrained_dir(os.path.join(str(base), "clip"))
+        config = FluxConfig(checkpoint_path=checkpoint_path)
+        model = FluxModel.from_checkpoint(
+            config, t5_tokenizer=tokenizer, clip_tokenizer=clip_tok
+        )
     else:
         raise click.ClickException(f"Unknown family: {family}")
 
@@ -62,7 +85,7 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 
 @click.command()
 @click.option("--checkpoint-path", type=str, required=True)
-@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2"]), default="auraflow")
+@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]), default="auraflow")
 @click.option("--tokenizer-path", type=str, default=None)
 @click.option("--prompt", type=str, default="photo of a cat")
 @click.option("--negative-prompt", type=str, default="blurry, ugly, low quality")
