@@ -267,7 +267,10 @@ class Conv2d(Module):
             # 9 shifted matmuls instead of lax.conv: measured 10-37% faster
             # on TPU v5e at SDXL's channel counts (the MXU prefers plain
             # (B*H*W, Cin) @ (Cin, Cout) contractions over the conv path);
-            # fp32 keeps lax.conv for exact golden parity
+            # fp32 keeps lax.conv for exact golden parity. A fused Pallas
+            # variant exists (ops/pallas/conv3x3.py) but measured slower
+            # end-to-end — XLA fuses the bias/act into the tap matmuls,
+            # the kernel cannot.
             y = self._conv3x3_as_matmuls(x, w)
         else:
             y = lax.conv_general_dilated(
