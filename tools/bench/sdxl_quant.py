@@ -5,6 +5,14 @@ quantization configs. The reference records CUDA memory-history snapshots;
 on TPU we read the device memory_stats (peak_bytes_in_use) around the run.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import json
 import time
 from typing import Optional

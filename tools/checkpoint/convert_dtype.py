@@ -1,6 +1,14 @@
 """Checkpoint dtype converter (reference tools/checkpoint/ equivalents):
 cast every floating tensor of a safetensors file to a target dtype."""
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import click
 import jax.numpy as jnp
 

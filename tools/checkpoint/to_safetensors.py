@@ -1,6 +1,14 @@
 """Convert a PyTorch pickle checkpoint to safetensors
 (reference tools/checkpoint/to_safetensors.py)."""
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import click
 
 

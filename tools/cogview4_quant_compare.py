@@ -2,6 +2,14 @@
 generate the same prompt with quantized text encoder / denoiser configs and
 record image + peak device memory per run."""
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import json
 from pathlib import Path
 

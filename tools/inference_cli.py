@@ -8,6 +8,14 @@ generates, saves webp. Tokenizers load from a local directory
 environment has no network.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 from typing import Optional
 
 import click

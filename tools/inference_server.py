@@ -11,6 +11,14 @@ the jitted pipeline (the jax analogue of its torch.compile).
       --tokenizer-path /path/to/tokenizer --port 8123
 """
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

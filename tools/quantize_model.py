@@ -9,6 +9,14 @@ Usage:
       --save-path models/aura_flow_0.3.bnb_nf4.safetensors --quant-type bnb_nf4
 """
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import click
 
 from vision_ft_tpu.modules.quant import quantize_state_dict, validate_quant_type
