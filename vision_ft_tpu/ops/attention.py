@@ -23,6 +23,7 @@ AttentionImplementation = Literal[
     # TPU-native names
     "xla",
     "flash",
+    "flash_attention",
     # reference aliases (src/modules/attention.py:23-28)
     "eager",
     "sdpa",
@@ -30,7 +31,8 @@ AttentionImplementation = Literal[
     "xformers",
 ]
 
-_FLASH_BACKENDS = {"flash", "flash_attention_2", "xformers"}
+_FLASH_BACKENDS = {"flash", "flash_attention", "flash_attention_2", "xformers"}
+_XLA_BACKENDS = {"xla", "eager", "sdpa"}
 
 
 def _xla_attention(
@@ -87,4 +89,9 @@ def scaled_dot_product_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask, scale=scale, is_causal=is_causal)
+    if backend not in _XLA_BACKENDS:
+        # a typo'd backend silently degrading to the eager path is a perf
+        # trap (the reference raises for unknown backends too,
+        # src/modules/attention.py:158-160)
+        raise ValueError(f"unknown attention backend {backend!r}")
     return _xla_attention(q, k, v, mask, scale, is_causal)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 BLOCK_Q = 512
-BLOCK_K = 512
+BLOCK_K = 1024
 NEG_INF = -1e30
 
 
@@ -58,7 +58,11 @@ def _masked_scores(s, kb, qi, block_q, kmask_row, *, causal, sk_actual, sk_pad):
 # forward
 
 
-def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
+def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k, d_ones):
+    """d_ones >= 0: V carries a ones column at lane index d_ones, so the PV
+    matmul accumulates the softmax row-sum l on the MXU for free (the lanes
+    past head_dim were idle anyway for d<128 heads); the separate VPU
+    jnp.sum pass disappears. d_ones < 0: classic l carry."""
     if has_bias:
         q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
     else:
@@ -67,9 +71,9 @@ def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
     block_q = q.shape[0]
     qi = pl.program_id(1)
     num_kb = sk_pad // block_k
+    vones = d_ones >= 0
 
-    def body(kb, carry):
-        acc, m_i, l_i = carry
+    def step(kb, acc, m_i, l_i):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
@@ -85,18 +89,35 @@ def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=1)
+        if not vones:
+            l_i = l_i * alpha + jnp.sum(p, axis=1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        return acc, m_new, l_i
 
-    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+    # 2x unroll: the second iteration's QK dot (MXU) is independent of the
+    # first's softmax (VPU), letting Mosaic overlap the units (measured
+    # 1.14 -> 1.06 ms on the 20x4096x64 SDXL shape)
+    unroll = 2 if num_kb % 2 == 0 and num_kb >= 2 else 1
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        if unroll == 2:
+            acc, m_i, l_i = step(2 * i, acc, m_i, l_i)
+            acc, m_i, l_i = step(2 * i + 1, acc, m_i, l_i)
+        else:
+            acc, m_i, l_i = step(i, acc, m_i, l_i)
+        return acc, m_i, l_i
+
+    acc = jnp.zeros((block_q, v_ref.shape[-1]), jnp.float32)
     m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
     l_i = jnp.zeros((block_q,), jnp.float32)
-    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc, m_i, l_i))
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb // unroll, body, (acc, m_i, l_i))
 
+    if vones:
+        l_i = acc[:, d_ones]
     l_safe = jnp.maximum(l_i, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
     lse = m_i + jnp.log(l_safe)
@@ -113,16 +134,37 @@ def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interp
     grid = (b * h, sq // block_q)
     has_bias = bias is not None
 
+    # V-ones augmentation: when head_dim leaves idle lanes below the next
+    # 128 boundary (d % 128 != 0), store a ones column at lane d so the PV
+    # matmul accumulates the softmax row-sum for free. For d % 128 == 0 the
+    # extra lane pass would double PV time — keep the classic l carry.
+    d_ones = d if d % 128 != 0 else -1
+    if d_ones >= 0:
+        dv = _round_up(d + 1, 128)
+        v_aug = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dv - d)))
+        ones_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dv), 3) == d_ones
+        ).astype(v.dtype)
+        v_aug = v_aug + ones_col
+    else:
+        dv = d
+        v_aug = v
+
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         sk_actual=sk_actual, sk_pad=sk_pad, has_bias=has_bias, block_k=block_k,
+        d_ones=d_ones,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
         pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
-        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        pl.BlockSpec((1, sk_pad, dv), lambda bh, qi: (bh, 0, 0)),
     ]
-    args = [q.reshape(b * h, sq, d), k.reshape(b * h, sk_pad, d), v.reshape(b * h, sk_pad, d)]
+    args = [
+        q.reshape(b * h, sq, d),
+        k.reshape(b * h, sk_pad, d),
+        v_aug.reshape(b * h, sk_pad, dv),
+    ]
     if has_bias:
         in_specs.append(_bias_spec(sk_pad))
         args.append(bias)
@@ -132,16 +174,16 @@ def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interp
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
             jax.ShapeDtypeStruct((b * h, 8, sq), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
-    return o.reshape(b, h, sq, d), lse  # lse stays (b*h, 8, sq) replicated
+    return o.reshape(b, h, sq, dv)[:, :, :, :d], lse  # lse (b*h, 8, sq) replicated
 
 
 # ---------------------------------------------------------------------------
@@ -183,8 +225,15 @@ def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
             ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    unroll = 2 if num_kb % 2 == 0 and num_kb >= 2 else 1
+
+    def unrolled(i, dq):
+        if unroll == 2:
+            return body(2 * i + 1, body(2 * i, dq))
+        return body(i, dq)
+
     dq = jnp.zeros(q.shape, jnp.float32)
-    dq = jax.lax.fori_loop(0, num_kb, body, dq)
+    dq = jax.lax.fori_loop(0, num_kb // unroll, unrolled, dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -233,9 +282,16 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
         )
         return dk, dv
 
+    unroll = 2 if num_qb % 2 == 0 and num_qb >= 2 else 1
+
+    def unrolled(i, carry):
+        if unroll == 2:
+            return body(2 * i + 1, body(2 * i, carry))
+        return body(i, carry)
+
     dk = jnp.zeros(k_blk.shape, jnp.float32)
     dv = jnp.zeros(v_blk.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk, dv))
+    dk, dv = jax.lax.fori_loop(0, num_qb // unroll, unrolled, (dk, dv))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
