@@ -257,21 +257,30 @@ class Conv2d(Module):
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
         w = params["weight"].astype(x.dtype)
-        if (
-            x.dtype == jnp.bfloat16
+        # bf16 fast paths: keep every conv a plain channel contraction so
+        # the whole graph stays C-minor — lax.conv's TPU lowering prefers
+        # its own (W-minor) layout and radiates 40MB relayout copies into
+        # neighboring fusions (profiled on v5e: GroupNorm stats fusions
+        # ballooned 0.05 -> 0.45 ms absorbing the transposes). fp32 keeps
+        # lax.conv for exact golden parity. A fused Pallas 3x3 variant
+        # exists (ops/pallas/conv3x3.py) but measured slower end-to-end.
+        fast = x.dtype == jnp.bfloat16 and self.in_channels >= 128
+        if fast and self.kernel_size == 1 and self.padding == 0:
+            # 1x1 conv == matmul over channels (any stride via slicing)
+            xs = x[:, :: self.stride, :: self.stride, :] if self.stride > 1 else x
+            y = jnp.einsum(
+                "bhwc,co->bhwo", xs, jnp.transpose(w[:, :, 0, 0]),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        elif (
+            fast
             and self.kernel_size == 3
-            and self.stride == 1
+            and self.stride in (1, 2)
             and self.padding == 1
-            and self.in_channels >= 128
         ):
-            # 9 shifted matmuls instead of lax.conv: measured 10-37% faster
-            # on TPU v5e at SDXL's channel counts (the MXU prefers plain
-            # (B*H*W, Cin) @ (Cin, Cout) contractions over the conv path);
-            # fp32 keeps lax.conv for exact golden parity. A fused Pallas
-            # variant exists (ops/pallas/conv3x3.py) but measured slower
-            # end-to-end — XLA fuses the bias/act into the tap matmuls,
-            # the kernel cannot.
-            y = self._conv3x3_as_matmuls(x, w)
+            # nine shifted matmuls: measured 10-37% faster than lax.conv on
+            # v5e at SDXL channel counts, and layout-clean (see above)
+            y = self._conv3x3_as_matmuls(x, w, self.stride)
         else:
             y = lax.conv_general_dilated(
                 x,
@@ -289,14 +298,21 @@ class Conv2d(Module):
         return y
 
     @staticmethod
-    def _conv3x3_as_matmuls(x: jax.Array, w: jax.Array) -> jax.Array:
+    def _conv3x3_as_matmuls(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
         b, hh, ww, c = x.shape
         whwio = jnp.transpose(w, (2, 3, 1, 0))  # (kh, kw, in, out)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        ho = (hh + 2 - 3) // stride + 1
+        wo = (ww + 2 - 3) // stride + 1
         out = None
         for dy in range(3):
             for dx in range(3):
-                patch = xp[:, dy : dy + hh, dx : dx + ww, :]
+                patch = xp[
+                    :,
+                    dy : dy + (ho - 1) * stride + 1 : stride,
+                    dx : dx + (wo - 1) * stride + 1 : stride,
+                    :,
+                ]
                 term = jnp.einsum(
                     "bhwc,co->bhwo", patch, whwio[dy, dx],
                     preferred_element_type=jnp.float32,
