@@ -1,2 +1,3 @@
 #!/bin/bash
-python train/auraflow/shortcut.py --config configs/auraflow/shortcut.yml
+# AuraFlow shortcut-model distillation (reference scripts/train/auraflow/shortcut.sh)
+python train/auraflow/shortcut.py --config configs/auraflow/shortcut.yml "$@"

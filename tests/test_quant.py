@@ -91,7 +91,7 @@ def test_prequantized_state_dict_load_and_forward():
     np.testing.assert_allclose(np.asarray(y_jit), np.asarray(y_q), atol=1e-6)
 
 
-@pytest.mark.parametrize("quant_type", ["fp8_e4m3fn", "bnb_int8", "quanto_int8", "ao_nf4", "bnb_fp4"])
+@pytest.mark.parametrize("quant_type", ["fp8_e4m3fn", "bnb_int8", "quanto_int8", "quanto_int4", "ao_nf4", "bnb_fp4"])
 def test_quantize_params_forward(quant_type):
     rng = np.random.default_rng(3)
     model = ModuleDict({"fc": Linear(32, 16)})
@@ -140,3 +140,36 @@ def test_fp4_differs_from_nf4():
     p_nf4, _ = quantize_4bit(w, "nf4")
     p_fp4, _ = quantize_4bit(w, "fp4")
     assert not np.array_equal(p_nf4, p_fp4)
+
+
+def test_quanto_int4_prequantized_round_trip():
+    """quanto QBitsTensor on-disk layout (_data packed row pairs, _scale,
+    _shift) loads through convert_prequantized_state_dict and matmuls close
+    to the fp weight (reference quant/functional.py:294-298 detection)."""
+    from vision_ft_tpu.modules.quant.functional import (
+        convert_prequantized_state_dict,
+        get_quant_type_from_children_dict,
+        quantize_state_dict,
+    )
+    from vision_ft_tpu.nn.core import Linear, unflatten_params
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    sd = {"layer.weight": jnp.asarray(w), "layer.bias": jnp.zeros((32,))}
+    qsd = quantize_state_dict(sd, "quanto_int4", include_keys=["layer"])
+    assert set(qsd) == {"layer.weight._data", "layer.weight._scale",
+                        "layer.weight._shift", "layer.bias"}
+    assert qsd["layer.weight._data"].dtype == jnp.uint8
+    assert qsd["layer.weight._data"].shape == (16, 64)
+    assert get_quant_type_from_children_dict(
+        {"_data": qsd["layer.weight._data"], "_scale": qsd["layer.weight._scale"],
+         "_shift": qsd["layer.weight._shift"]}
+    ) == "quanto_int4"
+
+    params = unflatten_params(convert_prequantized_state_dict(qsd))
+    lin = Linear(64, 32)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    y_q = lin(params["layer"], x)
+    y_fp = lin({"weight": jnp.asarray(w), "bias": jnp.zeros((32,))}, x)
+    rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.25, rel

@@ -9,6 +9,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from ...utils.dtype import str_to_dtype as _str_to_dtype
 import numpy as np
 from PIL import Image
 
@@ -37,14 +39,6 @@ def convert_to_original_key(key: str) -> str:
 
 
 convert_to_comfy_key = convert_to_original_key
-
-
-def _str_to_dtype(name: str):
-    return {
-        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-        "float16": jnp.float16, "fp16": jnp.float16,
-        "float32": jnp.float32, "fp32": jnp.float32,
-    }[name]
 
 
 class CogView4Model:

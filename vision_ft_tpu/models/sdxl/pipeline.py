@@ -19,6 +19,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from ...utils.dtype import str_to_dtype as _str_to_dtype
 import numpy as np
 from PIL import Image
 
@@ -37,17 +39,6 @@ from .text_encoder import TextEncoder
 from .util import convert_from_original_key, convert_to_original_key
 
 _VAE_ATTN_WEIGHT = re.compile(r"vae\..*\.to_(q|k|v|out)\.(\d+\.)?weight$")
-
-
-def _str_to_dtype(name: str):
-    return {
-        "bfloat16": jnp.bfloat16,
-        "bf16": jnp.bfloat16,
-        "float16": jnp.float16,
-        "fp16": jnp.float16,
-        "float32": jnp.float32,
-        "fp32": jnp.float32,
-    }[name]
 
 
 class SDXLModel:

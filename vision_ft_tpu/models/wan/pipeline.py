@@ -21,6 +21,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from ...utils.dtype import str_to_dtype as _str_to_dtype
 import numpy as np
 from PIL import Image
 
@@ -33,14 +35,6 @@ from .scheduler import Scheduler
 from .text_encoder import DEFAULT_MAX_TOKEN_LENGTH, TextEncoder, TextEncoderConfig
 from .util import convert_from_original_key, convert_to_original_key
 from .vae import VAE
-
-
-def _str_to_dtype(name: str):
-    return {
-        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-        "float16": jnp.float16, "fp16": jnp.float16,
-        "float32": jnp.float32, "fp32": jnp.float32,
-    }[name]
 
 
 class Wan22:

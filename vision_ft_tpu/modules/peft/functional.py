@@ -24,6 +24,8 @@ from typing import Any, Callable, NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from ...utils.dtype import str_to_dtype as _str_to_dtype
+
 from ...nn.core import (
     Params,
     flatten_params,
@@ -41,17 +43,6 @@ ADAPTER_LEAF_NAMES = (
     "hada_w2_a",
     "hada_w2_b",
 )
-
-
-def _str_to_dtype(name: str):
-    return {
-        "bfloat16": jnp.bfloat16,
-        "bf16": jnp.bfloat16,
-        "float16": jnp.float16,
-        "fp16": jnp.float16,
-        "float32": jnp.float32,
-        "fp32": jnp.float32,
-    }[name]
 
 
 def find_targetable_paths(params: Params) -> list[str]:

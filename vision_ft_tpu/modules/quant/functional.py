@@ -14,7 +14,8 @@ Supported types (reference functional.py:21-30):
                        only in the reference too)
   bnb_int8           — per-row absmax int8 (LLM.int8 weight format)
   quanto_int8        — quanto qint8 (weight._data x weight._scale)
-  quanto_int4        — detected but not implemented (clear error)
+  quanto_int4        — quanto QBitsTensor affine uint4 (row-pair nibble
+                       packing, dq = q*scale - shift)
   fp8_e4m3fn / ao_fp8— native XLA fp8 dtype cast
 """
 
@@ -78,6 +79,24 @@ def quantize_weight(weight, quant_type: QUANT_TYPE) -> Any:
         scale = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-12).astype(np.float32) / 127.0
         data = np.round(w / scale).clip(-127, 127).astype(np.int8)
         return {"data": jnp.asarray(data), "scale": jnp.asarray(scale)}
+    if quant_type == "quanto_int4":
+        # affine per-output-channel uint4 in optimum-quanto's QBitsTensor
+        # layout: shift = -rmin in weight units, q = round((w+shift)/scale)
+        # in [0,15], dq = q*scale - shift; PackedTensor packs row pairs
+        # into one uint8 with the even row in the low nibble
+        # (quanto tensor/packed.py pack_weights)
+        assert w.ndim == 2 and w.shape[0] % 2 == 0, "int4 needs even out_features"
+        rmin = w.min(axis=1, keepdims=True)
+        rmax = w.max(axis=1, keepdims=True)
+        scale = np.maximum((rmax - rmin) / 15.0, 1e-12).astype(np.float32)
+        shift = (-rmin).astype(np.float32)
+        q = np.round((w + shift) / scale).clip(0, 15).astype(np.uint8)
+        packed = (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
+        return {
+            "data": jnp.asarray(packed),
+            "scale": jnp.asarray(scale),
+            "shift": jnp.asarray(shift),
+        }
     if quant_type in ("fp8_e4m3fn", "ao_fp8"):
         return jnp.asarray(w).astype(jnp.float8_e4m3fn)
     raise NotImplementedError(f"{quant_type} quantization is not implemented")
@@ -128,6 +147,14 @@ def dequantize_weight(weight: Any, dtype=jnp.float32, shape=None) -> jax.Array:
         return (
             weight["data"].astype(jnp.float32) * weight["SCB"][:, None] / 127.0
         ).astype(dtype)
+    if "shift" in weight:
+        # quanto qint4: unpack row-pair nibbles (low = even row), then
+        # dq = q * scale - shift (gather-free: two shifts + interleave)
+        packed = weight["data"]
+        lo = (packed & 0xF).astype(jnp.float32)
+        hi = (packed >> 4).astype(jnp.float32)
+        q = jnp.stack([lo, hi], axis=1).reshape(packed.shape[0] * 2, *packed.shape[1:])
+        return (q * weight["scale"] - weight["shift"]).astype(dtype)
     if "scale" in weight:
         return (weight["data"].astype(jnp.float32) * weight["scale"]).astype(dtype)
     raise ValueError(f"Unknown quantized weight layout: {list(weight)}")
@@ -210,7 +237,7 @@ def convert_prequantized_state_dict(state_dict: dict[str, Any]) -> dict[str, Any
     roots = set()
     for key in state_dict:
         for marker in (".weight.quant_state.bitsandbytes__", ".weight.absmax",
-                       ".weight._data", ".weight.SCB"):
+                       ".weight._data", ".weight._shift", ".weight.SCB"):
             idx = key.find(marker)
             if idx >= 0:
                 roots.add(key[: idx + len(".weight")])
@@ -240,6 +267,10 @@ def convert_prequantized_state_dict(state_dict: dict[str, Any]) -> dict[str, Any
         elif quant_type == "quanto_int8":
             out[f"{root}.data"] = jnp.asarray(children["_data"])
             out[f"{root}.scale"] = jnp.asarray(children["_scale"])
+        elif quant_type == "quanto_int4":
+            out[f"{root}.data"] = jnp.asarray(np.asarray(children["_data"]), jnp.uint8)
+            out[f"{root}.scale"] = jnp.asarray(children["_scale"])
+            out[f"{root}.shift"] = jnp.asarray(children["_shift"])
         else:
             raise NotImplementedError(f"{quant_type} checkpoints are not supported yet")
     for key, value in state_dict.items():
@@ -256,8 +287,10 @@ def quantize_state_dict(
 ) -> dict[str, Any]:
     """Offline checkpoint quantizer in bnb's on-disk format
     (reference functional.py:342-371 + tools/quantize_model.py)."""
-    if quant_type not in ("bnb_nf4", "bnb_fp4", "fp8_e4m3fn"):
-        raise NotImplementedError("Only bnb 4bit / fp8 offline quantization is supported")
+    if quant_type not in ("bnb_nf4", "bnb_fp4", "fp8_e4m3fn", "quanto_int4"):
+        raise NotImplementedError(
+            "Only bnb 4bit / fp8 / quanto int4 offline quantization is supported"
+        )
     targets = set(get_target_keys(include_keys, exclude_keys, list(state_dict.keys())))
     out = dict(state_dict)
     for key in list(out.keys()):
@@ -273,6 +306,15 @@ def quantize_state_dict(
             out[key] = jnp.asarray(packed)
             for state_key, state_value in state.items():
                 out[f"{key}.{state_key}"] = jnp.asarray(state_value)
+        elif quant_type == "quanto_int4":
+            w = np.asarray(out[key], np.float32)
+            if w.ndim != 2 or w.shape[0] % 2 != 0:
+                continue
+            sub = quantize_weight(w, "quanto_int4")
+            del out[key]
+            out[f"{key}._data"] = sub["data"]
+            out[f"{key}._scale"] = sub["scale"]
+            out[f"{key}._shift"] = sub["shift"]
         else:
             out[key] = jnp.asarray(out[key]).astype(jnp.float8_e4m3fn)
     return out
