@@ -34,10 +34,19 @@ class TextEncoder(Module):
 
     # -- jittable core ---------------------------------------------------------
 
-    def encode_tokens(self, params, input_ids: jax.Array, attention_mask: jax.Array):
+    def _encode_tokens_impl(self, params, input_ids, attention_mask):
         hidden = self.model(params["model"], input_ids, attention_mask)
         mask = attention_mask[..., None].astype(hidden.dtype)
         return hidden * mask, attention_mask
+
+    def encode_tokens(self, params, input_ids: jax.Array, attention_mask: jax.Array):
+        # one jit per stage: eager tower dispatch through the axon tunnel
+        # is pathologically slow (nn.core.cached_jit)
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "encode_tokens", self._encode_tokens_impl)(
+            params, input_ids, attention_mask
+        )
 
     # -- host-side prompt API ----------------------------------------------------
 

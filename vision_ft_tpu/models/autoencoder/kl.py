@@ -296,16 +296,27 @@ class AutoencoderKL(Module):
             params["post_quant_conv"] = self.post_quant_conv.init(keys["post_quant"], dtype)
         return params
 
-    def encode(self, params, x: jax.Array) -> DiagonalGaussian:
+    def _encode_impl(self, params, x: jax.Array) -> jax.Array:
         moments = self.encoder(params["encoder"], x)
         if self.quant_conv is not None:
             moments = self.quant_conv(params["quant_conv"], moments)
+        return moments
+
+    def encode(self, params, x: jax.Array) -> DiagonalGaussian:
+        from ...nn.core import cached_jit
+
+        moments = cached_jit(self, "encode", self._encode_impl)(params, x)
         return DiagonalGaussian(moments)
 
-    def decode(self, params, z: jax.Array) -> jax.Array:
+    def _decode_impl(self, params, z: jax.Array) -> jax.Array:
         if self.post_quant_conv is not None:
             z = self.post_quant_conv(params["post_quant_conv"], z)
         return self.decoder(params["decoder"], z)
+
+    def decode(self, params, z: jax.Array) -> jax.Array:
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "decode", self._decode_impl)(params, z)
 
     def tiled_decode(
         self,

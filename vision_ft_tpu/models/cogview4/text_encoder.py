@@ -31,9 +31,16 @@ class TextEncoder(Module):
     def init(self, key, dtype=jnp.float32):
         return {"model": self.model.init(key, dtype)}
 
-    def encode_tokens(self, params, input_ids: jax.Array) -> jax.Array:
+    def _encode_tokens_impl(self, params, input_ids):
         _, penultimate = self.model(params["model"], input_ids, None)
         return penultimate
+
+    def encode_tokens(self, params, input_ids: jax.Array) -> jax.Array:
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "encode_tokens", self._encode_tokens_impl)(
+            params, input_ids
+        )
 
     def normalize_prompts(self, prompts, negative_prompts=None, use_negative_prompts=True):
         _prompts = list(prompts) if isinstance(prompts, (list, tuple)) else [prompts]

@@ -65,12 +65,22 @@ class TextEncoder(Module):
     # -- jittable cores -----------------------------------------------------------
 
     def encode_tokens_clip(self, params, input_ids: jax.Array) -> jax.Array:
-        _, _, pooled = self.clip(params["clip"], input_ids)
-        return pooled
+        from ...nn.core import cached_jit
+
+        def impl(p, ids):
+            _, _, pooled = self.clip(p["clip"], ids)
+            return pooled
+
+        return cached_jit(self, "encode_tokens_clip", impl)(params, input_ids)
 
     def encode_tokens_t5(self, params, input_ids: jax.Array, attention_mask: jax.Array):
-        hidden = self.t5(params["t5"], input_ids, attention_mask)
-        return hidden * attention_mask[..., None].astype(hidden.dtype)
+        from ...nn.core import cached_jit
+
+        def impl(p, ids, m):
+            hidden = self.t5(p["t5"], ids, m)
+            return hidden * m[..., None].astype(hidden.dtype)
+
+        return cached_jit(self, "encode_tokens_t5", impl)(params, input_ids, attention_mask)
 
     # -- host prompt API ---------------------------------------------------------------
 

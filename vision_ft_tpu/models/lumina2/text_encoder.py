@@ -31,10 +31,18 @@ class TextEncoder(Module):
     def init(self, key, dtype=jnp.float32):
         return {"model": self.model.init(key, dtype)}
 
-    def encode_tokens(self, params, input_ids: jax.Array, attention_mask: jax.Array):
-        """Returns penultimate hidden states (B, S, hidden)."""
+    def _encode_tokens_impl(self, params, input_ids, attention_mask):
         _, penultimate = self.model(params["model"], input_ids, attention_mask)
         return penultimate
+
+    def encode_tokens(self, params, input_ids: jax.Array, attention_mask: jax.Array):
+        """Returns penultimate hidden states (B, S, hidden); jitted
+        (nn.core.cached_jit)."""
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "encode_tokens", self._encode_tokens_impl)(
+            params, input_ids, attention_mask
+        )
 
     def normalize_prompts(
         self,

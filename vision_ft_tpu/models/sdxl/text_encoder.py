@@ -90,15 +90,7 @@ class TextEncoder(Module):
 
     # -- jittable core -------------------------------------------------------
 
-    def encode_tokens(
-        self,
-        params,
-        input_ids_1: jax.Array,
-        input_ids_2: jax.Array,
-        batch: int,
-    ):
-        """ids: (batch*num_chunks, 77). Returns (emb1, emb2, pooled2) with
-        emb* already chunk-merged to (batch, 75*num_chunks+2, d)."""
+    def _encode_tokens_impl(self, batch, params, input_ids_1, input_ids_2):
         _, penult_1, _ = self.text_encoder_1(params["text_encoder_1"], input_ids_1)
         _, penult_2, text_embeds = self.text_encoder_2(
             params["text_encoder_2"], input_ids_2
@@ -108,6 +100,24 @@ class TextEncoder(Module):
         # pooled: first chunk only (reference text_encoder.py:336-345)
         pooled = text_embeds.reshape(batch, -1, text_embeds.shape[-1])[:, 0]
         return emb1, emb2, pooled
+
+    def encode_tokens(
+        self,
+        params,
+        input_ids_1: jax.Array,
+        input_ids_2: jax.Array,
+        batch: int,
+    ):
+        """ids: (batch*num_chunks, 77). Returns (emb1, emb2, pooled2) with
+        emb* already chunk-merged to (batch, 75*num_chunks+2, d). Runs
+        under one jit — eager dual-CLIP dispatch measured 48 s through
+        the axon tunnel (nn.core.cached_jit)."""
+        from ...nn.core import cached_jit
+
+        fn = cached_jit(
+            self, "encode_tokens", self._encode_tokens_impl, static_argnums=0
+        )
+        return fn(batch, params, input_ids_1, input_ids_2)
 
     # -- host-side prompt API --------------------------------------------------
 

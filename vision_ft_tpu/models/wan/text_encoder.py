@@ -224,7 +224,12 @@ class TextEncoder(Module):
         return {"model": self.model.init(key, dtype)}
 
     def encode_tokens(self, params, input_ids, attention_mask=None):
-        return self.model(params["model"], input_ids, attention_mask)
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, "encode_tokens",
+            lambda p, ids, m: self.model(p["model"], ids, m),
+        )(params, input_ids, attention_mask)
 
     def normalize_prompts(self, prompts, negative_prompts=None, use_negative_prompts=True):
         _prompts = list(prompts) if isinstance(prompts, (list, tuple)) else [prompts]

@@ -98,6 +98,20 @@ class Identity(Module):
         return x
 
 
+def cached_jit(obj, name: str, fn, **jit_kwargs):
+    """Per-instance jit cache for module-level entry points (text-encoder
+    towers, VAE encode/decode). Eager op-by-op dispatch through the axon
+    tunnel costs ~50-100 ms per op — an unjitted CLIP forward measured
+    48 s — so every pipeline stage a user can reach must run under one
+    jit. jax.jit's own shape cache handles varying input shapes."""
+    cache = getattr(obj, "_jit_cache", None)
+    if cache is None:
+        cache = obj._jit_cache = {}
+    if name not in cache:
+        cache[name] = jax.jit(fn, **jit_kwargs)
+    return cache[name]
+
+
 _PEFT_ENABLED: list[bool] = [True]
 
 
