@@ -110,7 +110,11 @@ class AuraFlowForShortcut(AuraFlowModel):
                 velocity = negative + scale * (positive - negative)
             return latents - velocity * delta
 
-        jit_step = jax.jit(partial(step, do_cfg=do_cfg))
+        from ...nn.core import cached_jit
+
+        jit_step = cached_jit(
+            self, f"shortcut_step_{do_cfg}_{delta}", partial(step, do_cfg=do_cfg)
+        )
         for t in timesteps:
             latents = jit_step(
                 self.params["denoiser"], latents, jnp.float32(t / 1000.0),

@@ -106,7 +106,11 @@ class SDXLFlowMatch(SDXLModel):
 
         cond_batch = embeddings.shape[0]
         sizes = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (cond_batch, 2))
-        step = jax.jit(partial(self._fm_step, do_cfg=do_cfg))
+        from ....nn.core import cached_jit
+
+        step = cached_jit(
+            self, f"fm_step_{do_cfg}", partial(self._fm_step, do_cfg=do_cfg)
+        )
         for i, t in enumerate(timesteps):
             latents = step(
                 self.params["denoiser"], latents, jnp.float32(t),

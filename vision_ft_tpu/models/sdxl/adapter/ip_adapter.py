@@ -513,7 +513,12 @@ class SDXLModelWithIPAdapter(SDXLModel):
         )
 
         sizes = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (batch_size, 2))
-        step = jax.jit(functools.partial(self._denoise_step, do_cfg=do_cfg))
+        from ....nn.core import cached_jit
+
+        step = cached_jit(
+            self, f"ip_step_{do_cfg}",
+            functools.partial(self._denoise_step, do_cfg=do_cfg),
+        )
         noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         for i, t in enumerate(timesteps):
             step_noise = tensor_utils.incremental_seed_randn(
