@@ -433,9 +433,14 @@ class SDXLModelWithIPAdapter(SDXLModel):
 
     def _denoise_step(
         self, params, latents, timestep, sigma, next_sigma, embeddings, pooled,
-        original_size, target_size, crop_coords, cfg_scale, noise, ip_tokens,
+        original_size, target_size, crop_coords, cfg_scale, noise_seed, ip_tokens,
         ip_mask, do_cfg: bool,
     ):
+        # ancestral noise drawn in-jit from the seed scalar (same values
+        # as incremental_seed_randn; one dispatch per step)
+        noise = tensor_utils._incremental_seed_randn_jit(
+            noise_seed, latents.shape, jnp.float32
+        )
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         model_input = self.scheduler.scale_model_input(model_input, sigma).astype(latents.dtype)
         batch = model_input.shape[0]
@@ -521,14 +526,12 @@ class SDXLModelWithIPAdapter(SDXLModel):
         )
         noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         for i, t in enumerate(timesteps):
-            step_noise = tensor_utils.incremental_seed_randn(
-                latents.shape, noise_seed + 7919 * (i + 1), dtype=jnp.float32
-            )
             latents = step(
                 self.params["denoiser"], latents, jnp.float32(t),
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
                 embeddings, pooled, sizes(original_size), sizes(target_size),
-                sizes(crop_coords_top_left), jnp.float32(cfg_scale), step_noise,
+                sizes(crop_coords_top_left), jnp.float32(cfg_scale),
+                jnp.int32(noise_seed + 7919 * (i + 1)),
                 ip_tokens, ip_mask,
             )
 

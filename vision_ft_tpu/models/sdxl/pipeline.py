@@ -211,10 +211,16 @@ class SDXLModel:
         target_size,
         crop_coords,
         cfg_scale,
-        noise,
+        noise_seed,
         do_cfg: bool,
     ):
-        """One Euler-ancestral CFG step — the jit unit."""
+        """One Euler-ancestral CFG step — the jit unit. The ancestral
+        fresh noise is drawn inside the jit from ``noise_seed`` (a device
+        scalar; same incremental_seed_randn per-sample-seed values), so a
+        generate() issues one dispatch per step instead of three."""
+        noise = tensor_utils._incremental_seed_randn_jit(
+            noise_seed, latents.shape, jnp.float32
+        )
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         model_input = self.scheduler.scale_model_input(model_input, sigma).astype(
             latents.dtype
@@ -311,9 +317,6 @@ class SDXLModel:
         step = self._get_jit_step(do_cfg)
         noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         for i, t in enumerate(timesteps):
-            step_noise = tensor_utils.incremental_seed_randn(
-                latents.shape, noise_seed + 7919 * (i + 1), dtype=jnp.float32
-            )
             latents = step(
                 self.params["denoiser"],
                 latents,
@@ -326,7 +329,7 @@ class SDXLModel:
                 target_size_t,
                 crop_t,
                 jnp.float32(cfg_scale),
-                step_noise,
+                jnp.int32(noise_seed + 7919 * (i + 1)),
             )
 
         return self.decode_image(latents, use_tiling=should_tile)
