@@ -278,6 +278,10 @@ class Conv2d(Module):
         # ballooned 0.05 -> 0.45 ms absorbing the transposes). fp32 keeps
         # lax.conv for exact golden parity. A fused Pallas 3x3 variant
         # exists (ops/pallas/conv3x3.py) but measured slower end-to-end.
+        # the tap path re-reads the input 9x; past ~128^2 spatial rows it
+        # goes HBM-bound and lax.conv's halo reuse wins 2-2.5x (VAE shapes:
+        # 512^2x256 taps 8.3 ms vs conv 4.1; 1024^2x128 taps 16.6 vs 6.6)
+        compute_bound = x.shape[1] * x.shape[2] <= 128 * 128
         fast = x.dtype == jnp.bfloat16 and self.in_channels >= 128
         if fast and self.kernel_size == 1 and self.padding == 0:
             # 1x1 conv == matmul over channels (any stride via slicing)
@@ -288,6 +292,7 @@ class Conv2d(Module):
             ).astype(x.dtype)
         elif (
             fast
+            and compute_bound
             and self.kernel_size == 3
             and self.stride in (1, 2)
             and self.padding == 1
