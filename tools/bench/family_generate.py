@@ -1,0 +1,122 @@
+"""Per-family full-size generate() benchmark on one TPU chip.
+
+Times the complete user path (text encode + jitted denoise loop + VAE
+decode) for the flow-match families at their native resolutions with
+randomly-initialized full-size weights (generation quality is irrelevant
+to throughput; matmul timing is value-independent). SDXL's numbers live
+in bench.py / BASELINE.md.
+
+Usage: python tools/bench/family_generate.py [auraflow lumina2 cogview4]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+
+import jax
+
+
+class MockHFTokenizer:
+    """HF-call-compatible stub (ids dict); real runs pass AutoTokenizer."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+
+    def __call__(self, prompts, max_length=None, **kw):
+        ids = []
+        mask = []
+        for p in prompts:
+            toks = [3 + (hash(w) % 1000) for w in p.split()][: max_length - 1]
+            row = toks + [self.eos_token_id]
+            m = [1] * len(row) + [0] * (max_length - len(row))
+            row += [self.pad_token_id] * (max_length - len(row))
+            ids.append(row)
+            mask.append(m)
+        return {"input_ids": np.asarray(ids), "attention_mask": np.asarray(mask)}
+
+
+def bench(name: str):
+    t_build = time.time()
+    if name.startswith("auraflow"):
+        from vision_ft_tpu.models.auraflow.config import AuraFlowConig
+        from vision_ft_tpu.models.auraflow.pipeline import AuraFlowModel
+
+        model = AuraFlowModel(
+            AuraFlowConig(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            tokenizer=MockHFTokenizer(),
+        )
+        kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+    elif name == "lumina2":
+        from vision_ft_tpu.models.lumina2.config import Lumina2Config
+        from vision_ft_tpu.models.lumina2.pipeline import Lumina2
+
+        model = Lumina2(
+            Lumina2Config(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            tokenizer=MockHFTokenizer(),
+        )
+        kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+    elif name == "cogview4":
+        from vision_ft_tpu.models.cogview4.config import CogView4Config
+        from vision_ft_tpu.models.cogview4.pipeline import CogView4Model
+
+        model = CogView4Model(
+            CogView4Config(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            tokenizer=MockHFTokenizer(),
+        )
+        kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+    else:
+        raise SystemExit(f"unknown family {name}")
+
+    model.init_params(jax.random.PRNGKey(0))
+    if name.endswith("_nf4"):
+        # 6.8B-class families don't fit one 16 GB chip in bf16 (params +
+        # XXL text encoder + activations) — same posture as the reference,
+        # which targets 24 GB GPUs with bitsandbytes NF4. Quantize the
+        # denoiser's Linears like tracked config #5 does.
+        from vision_ft_tpu.modules.quant import quantize_params
+
+        model.params["denoiser"] = quantize_params(
+            model.params["denoiser"], "bnb_nf4",
+            include_keys=["attn", "mlp", "linear"], exclude_keys=["final"],
+        )
+    print(f"[{name}] init {time.time() - t_build:.0f}s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    model.generate("a photo of a cat", seed=0, **kwargs)
+    print(f"[{name}] first generate (incl compile): {time.time() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    model.generate("a photo of a cat", seed=0, **kwargs)
+    el = time.time() - t0
+    steps = kwargs["num_inference_steps"]
+    print(
+        f'{{"family": "{name}", "generate_1024px_{steps}steps_s": {el:.2f}, '
+        f'"steps_per_sec": {steps / el:.2f}}}',
+        flush=True,
+    )
+
+
+def main():
+    cache = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    for name in sys.argv[1:] or ["lumina2", "auraflow", "cogview4"]:
+        try:
+            bench(name)
+        except Exception as e:  # OOM on 16 GB chips for the biggest families
+            print(f'{{"family": "{name}", "error": "{type(e).__name__}: '
+                  f'{str(e)[:120]}"}}', flush=True)
+
+
+if __name__ == "__main__":
+    main()
