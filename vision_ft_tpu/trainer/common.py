@@ -271,7 +271,14 @@ class Trainer:
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state
 
-        # grad_fn retraces per bucket shape; apply_fn compiles once
+        # grad_fn retraces per bucket shape; apply_fn compiles once.
+        # Small (sub-tile) LoRA leaves can defeat donation; the per-leaf
+        # UserWarning spam is harmless, silence it once here.
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
         self._grad_fn = jax.jit(grad_step)
         self._apply_fn = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._zero_grads = lambda: jax.tree.map(
