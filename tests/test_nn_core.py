@@ -125,3 +125,37 @@ def test_init_shapes():
     assert p["weight"].shape == (8, 4) and p["bias"].shape == (8,)
     p = Conv2d(3, 6, kernel_size=3).init(key)
     assert p["weight"].shape == (6, 3, 3, 3)
+
+
+def test_cached_jit_respects_peft_toggle():
+    """A cached trace that baked adapters-on must not be served after
+    set_peft_enabled(False) (cache key includes the trace-time flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_ft_tpu.nn.core import Linear, cached_jit, set_peft_enabled
+
+    lin = Linear(8, 8)
+    params = lin.init(jax.random.PRNGKey(0))
+    params["lora_down"] = {"weight": jnp.ones((2, 8)) * 0.1}
+    params["lora_up"] = {"weight": jnp.ones((8, 2)) * 0.1}
+    params["alpha"] = jnp.asarray(2.0)
+
+    class Holder:
+        pass
+
+    h = Holder()
+    x = jnp.ones((1, 8))
+    fn = cached_jit(h, "lin", lambda p, x: lin(p, x))
+    with_adapter = fn(params, x)
+    try:
+        set_peft_enabled(False)
+        fn2 = cached_jit(h, "lin", lambda p, x: lin(p, x))
+        without_adapter = fn2(params, x)
+    finally:
+        set_peft_enabled(True)
+    import numpy as np
+
+    assert not np.allclose(np.asarray(with_adapter), np.asarray(without_adapter))
+    base = lin({k: v for k, v in params.items() if not k.startswith(("lora", "alpha"))}, x)
+    np.testing.assert_allclose(np.asarray(without_adapter), np.asarray(base), atol=1e-6)

@@ -161,6 +161,14 @@ def test_quanto_int4_prequantized_round_trip():
                         "layer.weight._shift", "layer.bias"}
     assert qsd["layer.weight._data"].dtype == jnp.uint8
     assert qsd["layer.weight._data"].shape == (16, 64)
+    # quanto PackedTensor layout: contiguous halves — row r pairs with
+    # row r + R/2 (low|high nibble)
+    import numpy as _np
+    d0 = int(_np.asarray(qsd["layer.weight._data"])[0, 0])
+    s = _np.asarray(qsd["layer.weight._scale"]).reshape(-1, 1)
+    sh = _np.asarray(qsd["layer.weight._shift"]).reshape(-1, 1)
+    q_full = _np.round((w + sh) / s).clip(0, 15).astype(_np.uint8)
+    assert d0 == (q_full[0, 0] | (q_full[16, 0] << 4))
     assert get_quant_type_from_children_dict(
         {"_data": qsd["layer.weight._data"], "_scale": qsd["layer.weight._scale"],
          "_shift": qsd["layer.weight._shift"]}

@@ -46,7 +46,8 @@ class MockHFTokenizer:
 
 def bench(name: str):
     t_build = time.time()
-    if name.startswith("auraflow"):
+    base = name[: -len("_nf4")] if name.endswith("_nf4") else name
+    if base == "auraflow":
         from vision_ft_tpu.models.auraflow.config import AuraFlowConig
         from vision_ft_tpu.models.auraflow.pipeline import AuraFlowModel
 
@@ -55,7 +56,7 @@ def bench(name: str):
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
-    elif name == "lumina2":
+    elif base == "lumina2":
         from vision_ft_tpu.models.lumina2.config import Lumina2Config
         from vision_ft_tpu.models.lumina2.pipeline import Lumina2
 
@@ -64,7 +65,7 @@ def bench(name: str):
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
-    elif name == "cogview4":
+    elif base == "cogview4":
         from vision_ft_tpu.models.cogview4.config import CogView4Config
         from vision_ft_tpu.models.cogview4.pipeline import CogView4Model
 

@@ -25,7 +25,10 @@ from collections import defaultdict
 
 import click
 
-PEOPLE_PATTERN = re.compile(r"(\d\+?(girl|boy|other)s?|no humans)")
+# also matches the underscore-escaped raw tag form ("no_humans") — the
+# reference applies its pattern before de-escaping and so silently never
+# classifies no_humans as a people tag; matching both is strictly better
+PEOPLE_PATTERN = re.compile(r"(\d\+?(girl|boy|other)s?|no[ _]humans)")
 _BAD_META = ("duplicate", "artist_collaboration", "revision", "variant_set", "animated")
 _BAD_GENERAL_SUB = ("_challenge", "comic", "(style)")
 

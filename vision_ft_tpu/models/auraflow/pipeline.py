@@ -49,7 +49,6 @@ class AuraFlowModel:
         self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
         self.scheduler = Scheduler()
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     @classmethod
     def from_config(cls, config: AuraFlowConig, **kwargs) -> "AuraFlowModel":
@@ -166,9 +165,11 @@ class AuraFlowModel:
         return new_latents.astype(latents.dtype)
 
     def _get_jit_step(self, do_cfg: bool):
-        if do_cfg not in self._jit_steps:
-            self._jit_steps[do_cfg] = jax.jit(partial(self._denoise_step, do_cfg=do_cfg))
-        return self._jit_steps[do_cfg]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+        )
 
     # -- generate ---------------------------------------------------------------------
 

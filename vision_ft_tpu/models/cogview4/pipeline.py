@@ -52,7 +52,6 @@ class CogView4Model:
         self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
         self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     @classmethod
     def from_config(cls, config: CogView4Config, **kwargs) -> "CogView4Model":
@@ -158,9 +157,11 @@ class CogView4Model:
         return new_latents.astype(latents.dtype)
 
     def _get_jit_step(self, do_cfg: bool):
-        if do_cfg not in self._jit_steps:
-            self._jit_steps[do_cfg] = jax.jit(partial(self._denoise_step, do_cfg=do_cfg))
-        return self._jit_steps[do_cfg]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+        )
 
     # -- generate ------------------------------------------------------------------------------
 

@@ -39,7 +39,6 @@ class FluxModel:
             clip_tokenizer=clip_tokenizer, t5_tokenizer=t5_tokenizer,
         )
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     @classmethod
     def from_config(cls, config: FluxConfig, **kwargs) -> "FluxModel":
@@ -137,9 +136,11 @@ class FluxModel:
         )
 
     def _get_jit_step(self, do_cfg: bool):
-        if do_cfg not in self._jit_steps:
-            self._jit_steps[do_cfg] = jax.jit(partial(self._denoise_step, do_cfg=do_cfg))
-        return self._jit_steps[do_cfg]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+        )
 
     # -- generate ----------------------------------------------------------------------------
 

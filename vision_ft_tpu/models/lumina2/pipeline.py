@@ -50,7 +50,6 @@ class Lumina2:
         self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
         self.scheduler = Scheduler()
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     @classmethod
     def from_config(cls, config: Lumina2Config, **kwargs) -> "Lumina2":
@@ -176,12 +175,12 @@ class Lumina2:
         return new_latents.astype(latents.dtype), refined
 
     def _get_jit_step(self, do_cfg: bool, use_cache: bool):
-        key = (do_cfg, use_cache)
-        if key not in self._jit_steps:
-            self._jit_steps[key] = jax.jit(
-                partial(self._denoise_step, do_cfg=do_cfg, use_cache=use_cache)
-            )
-        return self._jit_steps[key]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}_{use_cache}",
+            partial(self._denoise_step, do_cfg=do_cfg, use_cache=use_cache),
+        )
 
     # -- generate --------------------------------------------------------------------------
 

@@ -531,7 +531,7 @@ class SDXLModelWithIPAdapter(SDXLModel):
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
                 embeddings, pooled, sizes(original_size), sizes(target_size),
                 sizes(crop_coords_top_left), jnp.float32(cfg_scale),
-                jnp.int32(noise_seed + 7919 * (i + 1)),
+                jnp.int32((noise_seed + 7919 * (i + 1)) & 0x7FFFFFFF),
                 ip_tokens, ip_mask,
             )
 

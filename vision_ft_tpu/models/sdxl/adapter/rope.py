@@ -44,6 +44,10 @@ ORIGIN_POSITION = Literal["top_left", "center"]
 
 _ROPE_ENABLED: list[Optional[bool]] = [None]  # None -> use config flag
 
+from ....nn.core import register_trace_flag
+
+register_trace_flag("sdxl_rope", lambda: _ROPE_ENABLED[0])
+
 
 def set_rope_enabled(enabled: Optional[bool]) -> None:
     """Trace-time global override (None restores the config default).

@@ -66,7 +66,6 @@ class SDXLModel:
         )
         self.scheduler = Scheduler()
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     # -- checkpoint I/O ------------------------------------------------------
 
@@ -249,11 +248,11 @@ class SDXLModel:
         return new_latents.astype(latents.dtype)
 
     def _get_jit_step(self, do_cfg: bool):
-        if do_cfg not in self._jit_steps:
-            self._jit_steps[do_cfg] = jax.jit(
-                partial(self._denoise_step, do_cfg=do_cfg)
-            )
-        return self._jit_steps[do_cfg]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+        )
 
     # -- generate ------------------------------------------------------------
 
@@ -329,7 +328,7 @@ class SDXLModel:
                 target_size_t,
                 crop_t,
                 jnp.float32(cfg_scale),
-                jnp.int32(noise_seed + 7919 * (i + 1)),
+                jnp.int32((noise_seed + 7919 * (i + 1)) & 0x7FFFFFFF),
             )
 
         return self.decode_image(latents, use_tiling=should_tile)

@@ -58,7 +58,6 @@ class Wan22:
         self.vae = vae if vae is not None else self.vae_class.from_default()
         self.scheduler = Scheduler()
         self.params: dict = {}
-        self._jit_steps: dict = {}
 
     @classmethod
     def from_config(cls, config: WanConfig, **kwargs) -> "Wan22":
@@ -178,11 +177,11 @@ class Wan22:
         return new_latents.astype(latents.dtype)
 
     def _get_jit_step(self, do_cfg: bool):
-        if do_cfg not in self._jit_steps:
-            self._jit_steps[do_cfg] = jax.jit(
-                partial(self._denoise_step, do_cfg=do_cfg)
-            )
-        return self._jit_steps[do_cfg]
+        from ...nn.core import cached_jit
+
+        return cached_jit(
+            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+        )
 
     # -- generate -------------------------------------------------------------
 

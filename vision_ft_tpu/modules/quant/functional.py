@@ -82,16 +82,17 @@ def quantize_weight(weight, quant_type: QUANT_TYPE) -> Any:
     if quant_type == "quanto_int4":
         # affine per-output-channel uint4 in optimum-quanto's QBitsTensor
         # layout: shift = -rmin in weight units, q = round((w+shift)/scale)
-        # in [0,15], dq = q*scale - shift; PackedTensor packs row pairs
-        # into one uint8 with the even row in the low nibble
-        # (quanto tensor/packed.py pack_weights)
+        # in [0,15], dq = q*scale - shift. PackedTensor packs CONTIGUOUS
+        # row halves (pack_weights iterates `start = i * row_dim`): rows
+        # [0, R/2) in the low nibble, rows [R/2, R) in the high nibble.
         assert w.ndim == 2 and w.shape[0] % 2 == 0, "int4 needs even out_features"
         rmin = w.min(axis=1, keepdims=True)
         rmax = w.max(axis=1, keepdims=True)
         scale = np.maximum((rmax - rmin) / 15.0, 1e-12).astype(np.float32)
         shift = (-rmin).astype(np.float32)
         q = np.round((w + shift) / scale).clip(0, 15).astype(np.uint8)
-        packed = (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
+        half = w.shape[0] // 2
+        packed = (q[:half] | (q[half:] << 4)).astype(np.uint8)
         return {
             "data": jnp.asarray(packed),
             "scale": jnp.asarray(scale),
@@ -148,12 +149,12 @@ def dequantize_weight(weight: Any, dtype=jnp.float32, shape=None) -> jax.Array:
             weight["data"].astype(jnp.float32) * weight["SCB"][:, None] / 127.0
         ).astype(dtype)
     if "shift" in weight:
-        # quanto qint4: unpack row-pair nibbles (low = even row), then
-        # dq = q * scale - shift (gather-free: two shifts + interleave)
+        # quanto qint4: contiguous-half nibbles (rows [0,R/2) low, [R/2,R)
+        # high — quanto pack_weights), dq = q*scale - shift (gather-free)
         packed = weight["data"]
         lo = (packed & 0xF).astype(jnp.float32)
         hi = (packed >> 4).astype(jnp.float32)
-        q = jnp.stack([lo, hi], axis=1).reshape(packed.shape[0] * 2, *packed.shape[1:])
+        q = jnp.concatenate([lo, hi], axis=0)
         return (q * weight["scale"] - weight["shift"]).astype(dtype)
     if "scale" in weight:
         return (weight["data"].astype(jnp.float32) * weight["scale"]).astype(dtype)

@@ -98,18 +98,35 @@ class Identity(Module):
         return x
 
 
+_TRACE_FLAGS: dict = {}
+
+
+def register_trace_flag(name: str, getter) -> None:
+    """Register a trace-time global (like the PEFT enable toggle) so
+    cached_jit keys its cache on the flag's current value — a cached
+    trace that baked the old value is never served after a toggle."""
+    _TRACE_FLAGS[name] = getter
+
+
+def _trace_flags_key() -> tuple:
+    return tuple((k, _TRACE_FLAGS[k]()) for k in sorted(_TRACE_FLAGS))
+
+
 def cached_jit(obj, name: str, fn, **jit_kwargs):
     """Per-instance jit cache for module-level entry points (text-encoder
-    towers, VAE encode/decode). Eager op-by-op dispatch through the axon
-    tunnel costs ~50-100 ms per op — an unjitted CLIP forward measured
-    48 s — so every pipeline stage a user can reach must run under one
-    jit. jax.jit's own shape cache handles varying input shapes."""
+    towers, VAE encode/decode, denoise steps). Eager op-by-op dispatch
+    through the axon tunnel costs ~50-100 ms per op — an unjitted CLIP
+    forward measured 48 s — so every pipeline stage a user can reach must
+    run under one jit. jax.jit's own shape cache handles varying input
+    shapes; trace-time toggles (set_peft_enabled / set_rope_enabled) are
+    part of the cache key via register_trace_flag."""
     cache = getattr(obj, "_jit_cache", None)
     if cache is None:
         cache = obj._jit_cache = {}
-    if name not in cache:
-        cache[name] = jax.jit(fn, **jit_kwargs)
-    return cache[name]
+    key = (name, _trace_flags_key())
+    if key not in cache:
+        cache[key] = jax.jit(fn, **jit_kwargs)
+    return cache[key]
 
 
 _PEFT_ENABLED: list[bool] = [True]
@@ -125,6 +142,9 @@ def set_peft_enabled(enabled: bool) -> None:
 
 def peft_enabled() -> bool:
     return _PEFT_ENABLED[0]
+
+
+register_trace_flag("peft", peft_enabled)
 
 
 def _linear_adapter_delta(params: Params, x: jax.Array) -> jax.Array | None:

@@ -50,6 +50,23 @@ from ..training.optimizer import eval_params, get_optimizer, is_schedule_free
 from ..training.scheduler import get_schedule
 from ..utils.logging import Trackers, get_trackers
 
+_DONATION_WARNING_SILENCED = [False]
+
+
+def _silence_donation_warning_once() -> None:
+    """Sub-tile LoRA leaves routinely defeat buffer donation; jax then
+    prints one UserWarning per leaf per compile (hundreds of lines).
+    The filter is process-global by nature — installed once, and only for
+    this specific message."""
+    if not _DONATION_WARNING_SILENCED[0]:
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
+        _DONATION_WARNING_SILENCED[0] = True
+
+
 
 class Trainer:
     model: ModelForTraining
@@ -271,14 +288,8 @@ class Trainer:
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state
 
-        # grad_fn retraces per bucket shape; apply_fn compiles once.
-        # Small (sub-tile) LoRA leaves can defeat donation; the per-leaf
-        # UserWarning spam is harmless, silence it once here.
-        import warnings
-
-        warnings.filterwarnings(
-            "ignore", message="Some donated buffers were not usable"
-        )
+        # grad_fn retraces per bucket shape; apply_fn compiles once
+        _silence_donation_warning_once()
         self._grad_fn = jax.jit(grad_step)
         self._apply_fn = jax.jit(apply_step, donate_argnums=(0, 1, 2))
         self._zero_grads = lambda: jax.tree.map(

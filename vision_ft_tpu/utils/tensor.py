@@ -41,7 +41,11 @@ def incremental_seed_randn(
         raise ValueError("Shape must have at least one dimension")
     if seed is None:
         seed = int(np.random.randint(0, 2**31 - 1))
-    return _incremental_seed_randn_jit(jnp.int32(seed), tuple(shape), dtype)
+    # arbitrary Python-int seeds are accepted (PRNGKey parity); wrap into
+    # int32 range deterministically — numpy >= 2.0 raises on overflow
+    return _incremental_seed_randn_jit(
+        jnp.int32(int(seed) & 0x7FFFFFFF), tuple(shape), dtype
+    )
 
 
 def image_to_tensor(image: Image.Image, dtype=jnp.float32) -> jax.Array:
