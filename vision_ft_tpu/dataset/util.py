@@ -48,3 +48,18 @@ class ConcatDataset:
         ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
         prev = self.cumulative_sizes[ds_idx - 1] if ds_idx > 0 else 0
         return self.datasets[ds_idx][idx - prev]
+
+
+class HFDatasetWrapper:
+    """Passthrough sequence wrapper (reference src/dataset/util.py:20-29
+    wraps an HF Dataset for torch DataLoader; here any sequence works —
+    kept for API parity with code written against the reference)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx):
+        return self.ds[idx]

@@ -95,3 +95,30 @@ def scaled_dot_product_attention(
         # src/modules/attention.py:158-160)
         raise ValueError(f"unknown attention backend {backend!r}")
     return _xla_attention(q, k, v, mask, scale, is_causal)
+
+
+def scaled_qkv_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    use_flash: bool = False,
+    attention_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Deprecated (B, H, S, D) attention kept for reference API parity
+    (src/modules/attention.py:31-95 — still used by its AuraFlow)."""
+    import warnings
+
+    warnings.warn("This function is deprecated and will be removed", stacklevel=2)
+    orig = q.dtype
+    q, k, v = (t.astype(attention_dtype) for t in (q, k, v))
+    out = scaled_dot_product_attention(
+        q, k, v, scale=scale, backend="flash" if use_flash else "xla"
+    )
+    return out.astype(orig)
+
+
+def get_attn_implementation_label(use_flash_attention: bool) -> AttentionImplementation:
+    """Backend label for config plumbing (reference attention.py:162-170;
+    the flash path is always available here — it is the Pallas kernel)."""
+    return "flash_attention_2" if use_flash_attention else "sdpa"
