@@ -181,3 +181,40 @@ def test_quanto_int4_prequantized_round_trip():
     y_fp = lin({"weight": jnp.asarray(w), "bias": jnp.zeros((32,))}, x)
     rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
     assert rel < 0.25, rel
+
+
+def test_quanto_int4_grouped_layout_dequantizes():
+    """optimum-quanto's qint4 default is GROUP-wise quantization (axis=0
+    group() = row-major reshape to (numel/gs, gs)); scale/shift are
+    per-group. Loading such a checkpoint must reshape dq back to the
+    logical weight shape (round-1 ADVICE finding)."""
+    from vision_ft_tpu.modules.quant.functional import dequantize_weight
+
+    rng = np.random.default_rng(11)
+    out_f, in_f, gs = 8, 64, 16
+    w = rng.standard_normal((out_f, in_f)).astype(np.float32)
+    g = w.reshape(-1, gs)  # quanto group(axis=0): plain row-major reshape
+    rmin, rmax = g.min(1, keepdims=True), g.max(1, keepdims=True)
+    scale = np.maximum((rmax - rmin) / 15.0, 1e-12).astype(np.float32)
+    shift = (-rmin).astype(np.float32)
+    q = np.round((g + shift) / scale).clip(0, 15).astype(np.uint8)
+    half = q.shape[0] // 2
+    packed = (q[:half] | (q[half:] << 4)).astype(np.uint8)
+
+    sub = {
+        "data": jnp.asarray(packed),
+        "scale": jnp.asarray(scale),
+        "shift": jnp.asarray(shift),
+    }
+    dq = dequantize_weight(sub, jnp.float32, shape=(out_f, in_f))
+    assert dq.shape == (out_f, in_f)
+    expect = (q.astype(np.float32) * scale - shift).reshape(out_f, in_f)
+    np.testing.assert_allclose(np.asarray(dq), expect, atol=1e-6)
+    # quantization error itself is bounded by scale/2 per group
+    assert np.abs(expect - w).max() <= (scale.max() / 2) + 1e-6
+
+    # mismatched-numel subtree must fail loudly, not reshape garbage
+    bad = dict(sub)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported QBitsTensor"):
+        dequantize_weight(bad, jnp.float32, shape=(out_f, in_f + 2))

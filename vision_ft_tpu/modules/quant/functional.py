@@ -21,6 +21,7 @@ Supported types (reference functional.py:21-30):
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Literal, Sequence
 
 import jax
@@ -41,6 +42,8 @@ QUANT_TYPE = Literal[
     "ao_nf4",
     "ao_fp8",
 ]
+
+logger = logging.getLogger(__name__)
 
 _ALL_TYPES = (
     "fp8_e4m3fn", "bnb_int8", "bnb_fp4", "bnb_nf4",
@@ -150,12 +153,27 @@ def dequantize_weight(weight: Any, dtype=jnp.float32, shape=None) -> jax.Array:
         ).astype(dtype)
     if "shift" in weight:
         # quanto qint4: contiguous-half nibbles (rows [0,R/2) low, [R/2,R)
-        # high — quanto pack_weights), dq = q*scale - shift (gather-free)
+        # high — quanto pack_weights), dq = q*scale - shift (gather-free).
+        # Two QBitsTensor layouts exist (optimum-quanto grouped.py):
+        #   ungrouped: rows are output channels, scale/shift (out, 1)
+        #   grouped (the qint4 default, group_size<=128): the weight was
+        #     reshaped row-major to (numel/gs, gs) before quantization, so
+        #     scale/shift are per-group rows and dq must be reshaped back
+        #     to the logical (out, in) — which quanto's `group(axis=0)` is
+        #     a plain row-major reshape, so one reshape undoes it.
         packed = weight["data"]
         lo = (packed & 0xF).astype(jnp.float32)
         hi = (packed >> 4).astype(jnp.float32)
         q = jnp.concatenate([lo, hi], axis=0)
-        return (q * weight["scale"] - weight["shift"]).astype(dtype)
+        dq = q * weight["scale"].astype(jnp.float32) - weight["shift"].astype(jnp.float32)
+        if shape is not None and tuple(dq.shape) != tuple(shape):
+            if dq.size != int(np.prod(shape)):
+                raise ValueError(
+                    f"quanto int4 subtree of {dq.shape} cannot reshape to "
+                    f"weight shape {tuple(shape)} — unsupported QBitsTensor layout"
+                )
+            dq = dq.reshape(tuple(shape))
+        return dq.astype(dtype)
     if "scale" in weight:
         return (weight["data"].astype(jnp.float32) * weight["scale"]).astype(dtype)
     raise ValueError(f"Unknown quantized weight layout: {list(weight)}")
@@ -300,6 +318,10 @@ def quantize_state_dict(
         if quant_type in ("bnb_nf4", "bnb_fp4"):
             w = np.asarray(out[key], np.float32)
             if w.ndim != 2:
+                logger.warning(
+                    "quantize_state_dict: skipping %s (ndim=%d, only 2-D "
+                    "weights are quantized) — it stays full precision", key, w.ndim
+                )
                 continue
             packed, state = quantize_4bit(
                 w, quant_type=quant_type[len("bnb_"):], compress_statistics=True
@@ -310,6 +332,11 @@ def quantize_state_dict(
         elif quant_type == "quanto_int4":
             w = np.asarray(out[key], np.float32)
             if w.ndim != 2 or w.shape[0] % 2 != 0:
+                logger.warning(
+                    "quantize_state_dict: skipping %s (shape %s — quanto "
+                    "int4 needs a 2-D weight with even out_features) — it "
+                    "stays full precision", key, w.shape
+                )
                 continue
             sub = quantize_weight(w, "quanto_int4")
             del out[key]

@@ -297,11 +297,17 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
 
 
 def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
-               block_q, block_k, interpret):
+               block_q, block_k, interpret, g_lse=None):
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
     has_bias = bias is not None
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        # Cotangent w.r.t. the returned logsumexp rows. d(lse_i)/d(s_ij) is
+        # the softmax probability p_ij, so the lse contribution to ds is
+        # p * g_lse — which folds into the existing kernels as a shift of
+        # delta: ds = p * (dp - (delta - g_lse)) * scale. No kernel change.
+        delta = delta - g_lse.astype(jnp.float32)
 
     q_ = q.reshape(b * h, sq_pad, d)
     k_ = k.reshape(b * h, sk_pad, d)
@@ -466,3 +472,71 @@ def flash_attention_tpu(
         qp, kp, vp, bias, scale, is_causal, sq, sk, block_q, block_k, interpret
     )
     return out[:, :, :sq, :d]
+
+
+# ---------------------------------------------------------------------------
+# (out, lse) entry for ring / context-parallel shards
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_lse_core(q, k, v, scale, sq_actual, sk_actual, block_q, block_k, interpret):
+    o, lse8 = _flash_fwd(q, k, v, None, scale, False, sk_actual, block_q, block_k, interpret)
+    b, h, sq_pad, _ = q.shape
+    return o, lse8[:, 0, :].reshape(b, h, sq_pad)
+
+
+def _lse_core_fwd(q, k, v, scale, sq_actual, sk_actual, block_q, block_k, interpret):
+    o, lse8 = _flash_fwd(q, k, v, None, scale, False, sk_actual, block_q, block_k, interpret)
+    b, h, sq_pad, _ = q.shape
+    return (o, lse8[:, 0, :].reshape(b, h, sq_pad)), (q, k, v, o, lse8)
+
+
+def _lse_core_bwd(scale, sq_actual, sk_actual, block_q, block_k, interpret, res, g):
+    q, k, v, o, lse8 = res
+    do, g_lse = g
+    b, h, sq_pad, _ = q.shape
+    dq, dk, dv = _flash_bwd(
+        q, k, v, None, o, lse8, do, scale, False, sq_actual, sk_actual,
+        block_q, block_k, interpret,
+        g_lse=g_lse.reshape(b, h, sq_pad),
+    )
+    return dq, dk, dv
+
+
+_flash_lse_core.defvjp(_lse_core_fwd, _lse_core_bwd)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Flash attention returning ``(out, lse)`` — the pair a ring /
+    context-parallel merge needs (``vision_ft_tpu.ops.ring_attention``).
+
+    Handles all sequence/head-dim padding internally (shard lengths need
+    not be block multiples) and carries its own custom VJP, including the
+    lse cotangent that flows back through the ring's log-sum-exp merge.
+    No mask / causal support — the ring path is full bidirectional
+    attention.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    d_pad = d if d % 8 == 0 else _round_up(d, 128)
+    block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
+    block_k = min(BLOCK_K, _round_up(sk, 128))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    def pad(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d)))
+
+    o, lse = _flash_lse_core(
+        pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad),
+        scale, sq, sk, block_q, block_k, interpret,
+    )
+    return o[:, :, :sq, :d], lse[:, :, :sq]

@@ -31,27 +31,22 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _rup(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _local_partial(q, k, v, scale):
+def _local_partial(q, k, v, scale, _force_pallas=False):
     """Normalized attention of q against one K/V shard plus the row
     log-sum-exp — the pair the ring merge needs.
 
-    TPU: the Pallas flash forward already produces both. Elsewhere: an
-    explicit-logits reference path (tests run on the CPU mesh)."""
-    if jax.default_backend() == "tpu":
-        from .pallas.flash_attention import _flash_fwd
+    TPU: ``flash_attention_with_lse`` — the padded, custom-VJP Pallas
+    entry (shard lengths need not be block multiples, and the lse
+    cotangent from the merge flows back through it). Elsewhere: an
+    explicit-logits reference path (tests run on the CPU mesh; the
+    Pallas path is grad-tested in interpret mode)."""
+    if jax.default_backend() == "tpu" or _force_pallas:
+        from .pallas.flash_attention import flash_attention_with_lse
 
-        b, h, sq, _ = q.shape
-        o, lse8 = _flash_fwd(
-            q, k, v, None, scale, False, k.shape[2],
-            block_q=min(512, _rup(sq, 128)),
-            block_k=min(1024, _rup(k.shape[2], 128)),
-            interpret=False,
+        o, lse = flash_attention_with_lse(
+            q, k, v, scale=scale, interpret=_force_pallas
         )
-        return o.astype(jnp.float32), lse8[:, 0, :].reshape(b, h, sq)
+        return o.astype(jnp.float32), lse
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
