@@ -54,22 +54,33 @@ def main() -> None:
     size = jnp.full((batch, 2), float(h * 8), jnp.float32)
     crop = jnp.zeros((batch, 2), jnp.float32)
 
-    fn = jax.jit(
-        lambda p, x, t, c, pl: denoiser(p, x, t, c, pl, size, size, crop)
-    )
+    # chain the steps on device (lax.fori_loop), mirroring the pipeline's
+    # scanned denoise loop (models/sdxl/pipeline.py _denoise_loop): one
+    # dispatch per generate, so the measurement is device throughput, not
+    # per-call RPC latency
+    chain = 10 if on_tpu else 2
+
+    def run_chain(p, x, t, c, pl):
+        def body(_, x):
+            y = denoiser(p, x, t, c, pl, size, size, crop)
+            return y.astype(x.dtype)
+
+        return jax.lax.fori_loop(0, chain, body, x)
+
+    fn = jax.jit(run_chain)
 
     # warmup / compile
     fn(params, latents, timestep, context, pooled).block_until_ready()
     fn(params, latents, timestep, context, pooled).block_until_ready()
 
-    n_iters = 10 if on_tpu else 2
+    n_iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(params, latents, timestep, context, pooled)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    steps_per_sec = n_iters / elapsed
+    steps_per_sec = n_iters * chain / elapsed
     print(
         json.dumps(
             {

@@ -84,3 +84,79 @@ def test_bf16_forward_close():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected, np.float32), atol=3e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# BSHD (heads-packed) kernel
+
+
+def _ref_bshd(q, k, v, h, scale, causal=False):
+    b, s, inner = q.shape
+    d = inner // h
+
+    def t(x):
+        return x.reshape(b, x.shape[1], h, d).transpose(0, 2, 1, 3)
+
+    o = _xla_attention(t(q), t(k), t(v), None, scale, causal)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, inner)
+
+
+@pytest.mark.parametrize(
+    "b,s,sk,h,d,causal",
+    [
+        (2, 256, 256, 4, 64, False),   # d=64 head pairs (SDXL layout)
+        (1, 200, 300, 2, 64, False),   # non-block-multiple padding
+        (1, 128, 128, 2, 128, False),  # d=128 single-head groups
+        (1, 256, 256, 4, 64, True),    # causal
+    ],
+)
+def test_bshd_forward_and_grad_match_xla(b, s, sk, h, d, causal):
+    from vision_ft_tpu.ops.pallas.flash_attention import flash_attention_bshd
+
+    inner = h * d
+    scale = d**-0.5
+    q = _rand(0, (b, s, inner))
+    k = _rand(1, (b, sk, inner))
+    v = _rand(2, (b, sk, inner))
+    out = flash_attention_bshd(q, k, v, h, scale=scale, is_causal=causal, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref_bshd(q, k, v, h, scale, causal)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+    def loss_p(q, k, v):
+        o = flash_attention_bshd(q, k, v, h, scale=scale, is_causal=causal, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(_ref_bshd(q, k, v, h, scale, causal)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_bshd_group_support_matrix():
+    from vision_ft_tpu.ops.pallas.flash_attention import bshd_group
+
+    assert bshd_group(10, 64) == 2   # SDXL 640ch
+    assert bshd_group(20, 64) == 2   # SDXL 1280ch
+    assert bshd_group(24, 128) == 1  # Flux/Lumina2-style d=128
+    assert bshd_group(5, 64) == 0    # odd head count -> BHSD fallback
+    assert bshd_group(8, 72) == 0    # unaligned head_dim -> fallback
+
+
+def test_attention_heads_packed_cpu_fallback_matches():
+    """Off-TPU the packed entry must be numerically the classic path."""
+    from vision_ft_tpu.ops.attention import attention_heads_packed
+
+    b, s, h, d = 2, 64, 4, 32
+    q, k, v = _rand(0, (b, s, h * d)), _rand(1, (b, s, h * d)), _rand(2, (b, s, h * d))
+    got = attention_heads_packed(q, k, v, h, backend="flash")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ref_bshd(q, k, v, h, d**-0.5)), atol=2e-5, rtol=2e-5
+    )

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ...nn import Conv2d, GroupNorm, LayerNorm, Linear, Module, ModuleDict, split_keys
 from ...modules.timestep.embedding import get_timestep_embedding
-from ...ops.attention import AttentionImplementation, scaled_dot_product_attention
+from ...ops.attention import AttentionImplementation, attention_heads_packed
 from .config import DenoiserConfig
 
 
@@ -78,17 +78,10 @@ class SelfAttention(ModuleDict):
         )
 
     def __call__(self, params, x):
-        b, s, _ = x.shape
-        h, d = self.num_heads, self.head_dim
-
-        def heads(t):
-            return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-
-        q = heads(self["to_q"](params["to_q"], x))
-        k = heads(self["to_k"](params["to_k"], x))
-        v = heads(self["to_v"](params["to_v"], x))
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        q = self["to_q"](params["to_q"], x)
+        k = self["to_k"](params["to_k"], x)
+        v = self["to_v"](params["to_v"], x)
+        attn = attention_heads_packed(q, k, v, self.num_heads, backend=self.backend)
         return self["to_out"]["0"](params["to_out"]["0"], attn)
 
 
@@ -115,18 +108,10 @@ class CrossAttention(ModuleDict):
         )
 
     def __call__(self, params, x, context, **kwargs):
-        b, s, _ = x.shape
-        sc = context.shape[1]
-        h, d = self.num_heads, self.head_dim
-
-        def heads(t, length):
-            return t.reshape(b, length, h, d).transpose(0, 2, 1, 3)
-
-        q = heads(self["to_q"](params["to_q"], x), s)
-        k = heads(self["to_k"](params["to_k"], context), sc)
-        v = heads(self["to_v"](params["to_v"], context), sc)
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        q = self["to_q"](params["to_q"], x)
+        k = self["to_k"](params["to_k"], context)
+        v = self["to_v"](params["to_v"], context)
+        attn = attention_heads_packed(q, k, v, self.num_heads, backend=self.backend)
         return self["to_out"]["0"](params["to_out"]["0"], attn)
 
 

@@ -97,6 +97,54 @@ def scaled_dot_product_attention(
     return _xla_attention(q, k, v, mask, scale, is_causal)
 
 
+def attention_heads_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: AttentionImplementation = "xla",
+    is_causal: bool = False,
+) -> jax.Array:
+    """Attention over heads-packed ``(B, S, H*D)`` tensors — the layout
+    the qkv projections already produce.
+
+    On the TPU flash path this dispatches to the BSHD Pallas kernel,
+    which addresses the packed array per lane-aligned head group: the
+    (B,H,S,D) transposes (two HBM copies per attention, plus the
+    transpose XLA fused into the out-projection at ~60 TF/s) disappear
+    entirely. Everything else falls back to the classic path via
+    on-the-fly transposes.
+    """
+    b, s, inner = q.shape
+    d = inner // num_heads
+    if scale is None:
+        scale = d**-0.5
+    sk = k.shape[1]
+    if (
+        backend in _FLASH_BACKENDS
+        and mask is None
+        and sk >= 256
+        and jax.default_backend() == "tpu"
+    ):
+        from .pallas.flash_attention import bshd_group, flash_attention_bshd
+
+        if bshd_group(num_heads, d) > 0:
+            return flash_attention_bshd(
+                q, k, v, num_heads, scale=scale, is_causal=is_causal
+            )
+
+    def heads(t):
+        return t.reshape(b, t.shape[1], num_heads, d).transpose(0, 2, 1, 3)
+
+    out = scaled_dot_product_attention(
+        heads(q), heads(k), heads(v), mask=mask, scale=scale,
+        backend=backend, is_causal=is_causal,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, s, inner)
+
+
 def scaled_qkv_attention(
     q: jax.Array,
     k: jax.Array,

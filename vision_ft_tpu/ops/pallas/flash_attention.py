@@ -475,7 +475,363 @@ def flash_attention_tpu(
 
 
 # ---------------------------------------------------------------------------
-# (out, lse) entry for ring / context-parallel shards
+# BSHD ("heads-packed") entry — attention straight from (B, S, H*D)
+#
+# The denoiser projections produce (B, S, H*D); the classic path transposes
+# to (B, H, S, D) and back, and those two HBM copies (plus the transpose
+# XLA fuses into the out-projection) cost ~7 ms/step on the SDXL bench.
+# Here the kernel addresses the (B, S, H*D) array directly: each program
+# owns a 128-lane-aligned *head group* (two d=64 heads, or one d=128 head)
+# selected by the grid's middle axis, so every block offset is a whole
+# lane tile and no relayout ever hits HBM.
+
+
+def _fwd_kernel_bshd(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
+                     sk_actual, sk_pad, block_k, group, d):
+    """refs: q/o (1, BQ, G*d), k/v (1, SK_pad, G*d), lse (1, 1, G*8, BQ)."""
+    q = q_ref[0]  # (BQ, G*d)
+    block_q = q.shape[0]
+    qi = pl.program_id(2)
+    num_kb = sk_pad // block_k
+
+    # d % 128 != 0 leaves idle MXU lanes in the PV dot: append a ones
+    # column to V in-kernel so the softmax row-sum l accumulates on the
+    # MXU for free (same V-ones trick as the BHSD kernel, built per block
+    # instead of in HBM since the packed layout can't carry it)
+    vones = d % 128 != 0
+    dv = d + 1 if vones else d
+
+    def step(kb, carry):
+        accs, ms, ls = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]  # (BK, G*d)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        new_accs, new_ms, new_ls = [], [], []
+        # the G head chains are independent: their MXU dots and VPU
+        # softmaxes interleave (same overlap the 2x K-unroll bought the
+        # BHSD kernel)
+        for g in range(group):
+            qg = q[:, g * d:(g + 1) * d]
+            kg = k_blk[:, g * d:(g + 1) * d]
+            vg = v_blk[:, g * d:(g + 1) * d]
+            if vones:
+                vg = jnp.concatenate(
+                    [vg, jnp.ones((vg.shape[0], 1), vg.dtype)], axis=1
+                )
+            s = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = _masked_scores(
+                s, kb, qi, block_q, None,
+                causal=causal, sk_actual=sk_actual, sk_pad=sk_pad,
+            )
+            m_new = jnp.maximum(ms[g], jnp.max(s, axis=1))
+            p = jnp.exp(s - m_new[:, None])
+            alpha = jnp.exp(ms[g] - m_new)
+            l_new = ls[g] if vones else ls[g] * alpha + jnp.sum(p, axis=1)
+            acc = accs[g] * alpha[:, None] + jax.lax.dot_general(
+                p.astype(vg.dtype), vg,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            new_accs.append(acc)
+            new_ms.append(m_new)
+            new_ls.append(l_new)
+        return tuple(new_accs), tuple(new_ms), tuple(new_ls)
+
+    # 2x K-unroll on top of the head interleave (same MXU/VPU overlap win
+    # as the BHSD kernel's unroll)
+    unroll = 2 if num_kb % 2 == 0 and num_kb >= 2 else 1
+
+    def body(i, carry):
+        if unroll == 2:
+            return step(2 * i + 1, step(2 * i, carry))
+        return step(i, carry)
+
+    init = (
+        tuple(jnp.zeros((block_q, dv), jnp.float32) for _ in range(group)),
+        tuple(jnp.full((block_q,), NEG_INF, jnp.float32) for _ in range(group)),
+        tuple(jnp.zeros((block_q,), jnp.float32) for _ in range(group)),
+    )
+    accs, ms, ls = jax.lax.fori_loop(0, num_kb // unroll, body, init)
+
+    outs = []
+    for g in range(group):
+        l_g = accs[g][:, d] if vones else ls[g]
+        l_safe = jnp.maximum(l_g, 1e-30)
+        outs.append(accs[g][:, :d] / l_safe[:, None])
+        lse_ref[0, 0, pl.ds(8 * g, 8)] = jnp.broadcast_to(
+            (ms[g] + jnp.log(l_safe))[None, :], (8, block_q)
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _flash_fwd_bshd(q, k, v, scale, causal, sk_actual, block_q, block_k,
+                    group, d, interpret):
+    b, sq_pad, inner = q.shape
+    sk_pad = k.shape[1]
+    hg = inner // (group * d)
+    grid = (b, hg, sq_pad // block_q)
+    gd = group * d
+
+    kernel = functools.partial(
+        _fwd_kernel_bshd, scale=scale, causal=causal,
+        sk_actual=sk_actual, sk_pad=sk_pad, block_k=block_k,
+        group=group, d=d,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_pad, inner), q.dtype),
+            jax.ShapeDtypeStruct((b, hg, group * 8, sq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+def bshd_group(num_heads: int, head_dim: int) -> int:
+    """Lane-aligned head-group size for the BSHD kernel; 0 = unsupported
+    (caller should use the transposing BHSD path)."""
+    if head_dim % 128 == 0:
+        return 1
+    if head_dim == 64 and num_heads % 2 == 0:
+        return 2
+    return 0
+
+
+def flash_attention_bshd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over heads-packed (B, S, H*D) tensors — no head
+    transposes anywhere. Supported when ``bshd_group(H, D) > 0``; no mask
+    support (masked/odd cases take the BHSD path)."""
+    b, sq, inner = q.shape
+    sk = k.shape[1]
+    d = inner // num_heads
+    group = bshd_group(num_heads, d)
+    assert group > 0, "unsupported head layout for BSHD kernel"
+    if scale is None:
+        scale = d**-0.5
+
+    block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
+    block_k = min(BLOCK_K, _round_up(sk, 128))
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(sk, block_k)
+
+    def pad_s(x, s_pad):
+        return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+
+    o = _flash_bshd_core(
+        pad_s(q, sq_pad), pad_s(k, sk_pad), pad_s(v, sk_pad),
+        scale, is_causal, sq, sk, block_q, block_k, group, d, interpret,
+    )
+    return o[:, :sq, :]
+
+
+def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                        *, scale, causal, sk_actual, sk_pad, block_k, group, d):
+    q = q_ref[0]
+    do = do_ref[0]
+    block_q = q.shape[0]
+    qi = pl.program_id(2)
+    num_kb = sk_pad // block_k
+
+    def body(kb, dqs):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        new = []
+        for g in range(group):
+            qg = q[:, g * d:(g + 1) * d]
+            kg = k_blk[:, g * d:(g + 1) * d]
+            vg = v_blk[:, g * d:(g + 1) * d]
+            dog = do[:, g * d:(g + 1) * d]
+            lse_g = lse_ref[0, 0, 8 * g]
+            delta_g = delta_ref[0, 0, 8 * g]
+            s = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = _masked_scores(
+                s, kb, qi, block_q, None,
+                causal=causal, sk_actual=sk_actual, sk_pad=sk_pad,
+            )
+            p = jnp.exp(s - lse_g[:, None])
+            dp = jax.lax.dot_general(
+                dog, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (p * (dp - delta_g[:, None]) * scale).astype(kg.dtype)
+            new.append(dqs[g] + jax.lax.dot_general(
+                ds, kg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+        return tuple(new)
+
+    dqs = jax.lax.fori_loop(
+        0, num_kb, body,
+        tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(group)),
+    )
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dk_ref, dv_ref, *, scale, causal, sq_actual, sq_pad,
+                         sk_actual, block_q, group, d):
+    k_all = k_ref[0]  # (BK, G*d)
+    v_all = v_ref[0]
+    block_k = k_all.shape[0]
+    ki = pl.program_id(2)
+    num_qb = sq_pad // block_q
+
+    def body(qb, carry):
+        dks, dvs = carry
+        q_all = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do_all = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        new_dk, new_dv = [], []
+        for g in range(group):
+            qg = q_all[:, g * d:(g + 1) * d]
+            kg = k_all[:, g * d:(g + 1) * d]
+            vg = v_all[:, g * d:(g + 1) * d]
+            dog = do_all[:, g * d:(g + 1) * d]
+            lse_g = lse_ref[0, 0, 8 * g, pl.ds(qb * block_q, block_q)]
+            delta_g = delta_ref[0, 0, 8 * g, pl.ds(qb * block_q, block_q)]
+            s = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            if causal:
+                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            p = jnp.exp(s - lse_g[:, None])
+            p = jnp.where(q_pos < sq_actual, p, 0.0)  # padded q rows
+            new_dv.append(dvs[g] + jax.lax.dot_general(
+                p.astype(dog.dtype), dog,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ))
+            dp = jax.lax.dot_general(
+                dog, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (p * (dp - delta_g[:, None]) * scale).astype(qg.dtype)
+            new_dk.append(dks[g] + jax.lax.dot_general(
+                ds, qg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+        return tuple(new_dk), tuple(new_dv)
+
+    init = (
+        tuple(jnp.zeros((block_k, d), jnp.float32) for _ in range(group)),
+        tuple(jnp.zeros((block_k, d), jnp.float32) for _ in range(group)),
+    )
+    dks, dvs = jax.lax.fori_loop(0, num_qb, body, init)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
+                    block_q, block_k, group, d, interpret):
+    b, sq_pad, inner = q.shape
+    sk_pad = k.shape[1]
+    gd = group * d
+    hg = inner // gd
+
+    # per-head delta rows in the lse layout: (B, HG, G*8, SQ)
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * o.astype(jnp.float32)).reshape(
+            b, sq_pad, hg, group, d
+        ),
+        axis=-1,
+    ).transpose(0, 2, 3, 1)  # (B, HG, G, SQ)
+    delta = jnp.repeat(delta, 8, axis=2)  # (B, HG, G*8, SQ)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel_bshd, scale=scale, causal=causal,
+            sk_actual=sk_actual, sk_pad=sk_pad, block_k=block_k,
+            group=group, d=d,
+        ),
+        grid=(b, hg, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
+            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, inner), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel_bshd, scale=scale, causal=causal,
+            sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
+            block_q=block_q, group=group, d=d,
+        ),
+        grid=(b, hg, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
+            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
+            pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk_pad, inner), k.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, inner), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+def _flash_bshd_core(q, k, v, scale, causal, sq_actual, sk_actual,
+                     block_q, block_k, group, d, interpret):
+    o, _ = _flash_fwd_bshd(
+        q, k, v, scale, causal, sk_actual, block_q, block_k, group, d, interpret
+    )
+    return o
+
+
+def _bshd_core_fwd(q, k, v, scale, causal, sq_actual, sk_actual,
+                   block_q, block_k, group, d, interpret):
+    o, lse = _flash_fwd_bshd(
+        q, k, v, scale, causal, sk_actual, block_q, block_k, group, d, interpret
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bshd_core_bwd(scale, causal, sq_actual, sk_actual, block_q, block_k,
+                   group, d, interpret, residuals, do):
+    q, k, v, o, lse = residuals
+    dq, dk, dv = _flash_bwd_bshd(
+        q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
+        block_q, block_k, group, d, interpret,
+    )
+    return dq, dk, dv
+
+
+_flash_bshd_core.defvjp(_bshd_core_fwd, _bshd_core_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
