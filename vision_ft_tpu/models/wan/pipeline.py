@@ -35,12 +35,15 @@ from .scheduler import Scheduler
 from .text_encoder import DEFAULT_MAX_TOKEN_LENGTH, TextEncoder, TextEncoderConfig
 from .util import convert_from_original_key, convert_to_original_key
 from .vae import VAE
+from .vae3d import CausalVAE
 
 
 class Wan22:
     denoiser_class: type[Denoiser] = Denoiser
     text_encoder_class: type[TextEncoder] = TextEncoder
-    vae_class: type[VAE] = VAE
+    # the native 3D causal VAE (vae3d.py); any object implementing the
+    # VAE protocol (encode/decode over NFHWC) can be injected instead
+    vae_class: type[VAE] = CausalVAE
 
     def __init__(
         self,
