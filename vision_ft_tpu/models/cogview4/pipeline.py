@@ -50,6 +50,10 @@ class CogView4Model:
         self.dtype = _str_to_dtype(config.dtype)
         self.denoiser = self.denoiser_class(config.denoiser)
         self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
+        if tokenizer is None:
+            from ..text_encoders.auto_tokenizer import maybe_auto_tokenizer
+
+            tokenizer = maybe_auto_tokenizer(config, family="glm")
         self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
         self.params: dict = {}
 

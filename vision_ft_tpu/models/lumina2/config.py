@@ -3,6 +3,7 @@ NextDiT_2B_GQA_patch2_Adaln_Refiner)."""
 
 from __future__ import annotations
 
+from typing import Optional
 from pydantic import BaseModel
 
 
@@ -33,5 +34,7 @@ class DenoiserConfig(BaseModel):
 
 class Lumina2Config(BaseModel):
     checkpoint_path: str
+    # dir or file with tokenizer assets (tokenizer.json / *.model / vocab.json)
+    tokenizer_path: Optional[str] = None
     dtype: str = "bfloat16"
     denoiser: DenoiserConfig = DenoiserConfig()

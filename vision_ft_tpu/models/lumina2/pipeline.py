@@ -47,6 +47,10 @@ class Lumina2:
         self.dtype = _str_to_dtype(config.dtype)
         self.denoiser = self.denoiser_class(config.denoiser)
         self.vae = AutoencoderKL(vae_config or DEFAULT_VAE_CONFIG)
+        if tokenizer is None:
+            from ..text_encoders.auto_tokenizer import maybe_auto_tokenizer
+
+            tokenizer = maybe_auto_tokenizer(config, family="gemma")
         self.text_encoder = TextEncoder(config=text_encoder_config, tokenizer=tokenizer)
         self.scheduler = Scheduler()
         self.params: dict = {}

@@ -8,7 +8,7 @@ values ("xla"/"flash") while accepting the reference names as aliases.
 
 from __future__ import annotations
 
-from typing import Literal
+from typing import Literal, Optional
 
 from pydantic import BaseModel
 
@@ -55,6 +55,8 @@ class DenoiserConfig(BaseModel):
 
 class SDXLConfig(BaseModel):
     checkpoint_path: str
+    # dir with vocab.json + merges.txt for the from-scratch CLIP BPE
+    tokenizer_path: Optional[str] = None
 
     pretrained_model_name_or_path: str = "stabilityai/stable-diffusion-xl-base-1.0"
 

@@ -58,6 +58,10 @@ class SDXLModel:
         backend = config.denoiser.attention_backend
         self.denoiser = self.denoiser_class(config.denoiser)
         self.vae = AutoencoderKL(vae_config or SDXL_VAE_CONFIG)
+        if tokenizer is None:
+            from ..text_encoders.auto_tokenizer import maybe_auto_tokenizer
+
+            tokenizer = maybe_auto_tokenizer(config, family="clip")
         self.text_encoder = self.text_encoder_class(
             backend=backend,
             tokenizer=tokenizer,

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Literal
+from typing import Literal, Optional
 
 from pydantic import BaseModel
 
@@ -39,6 +39,7 @@ class Wan22TI2V5BDenoiserConfig(DenoiserConfig):
 
 class WanConfig(BaseModel):
     denoiser_path: str
+    tokenizer_path: Optional[str] = None
     text_encoder_path: str
     vae_path: str
 

@@ -55,6 +55,10 @@ class Wan22:
         self.config = config
         self.dtype = _str_to_dtype(config.dtype)
         self.denoiser = self.denoiser_class(config.denoiser)
+        if tokenizer is None:
+            from ..text_encoders.auto_tokenizer import maybe_auto_tokenizer
+
+            tokenizer = maybe_auto_tokenizer(config, family="t5")
         self.text_encoder = self.text_encoder_class(
             config=text_encoder_config, tokenizer=tokenizer
         )
