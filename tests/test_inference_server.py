@@ -1,0 +1,140 @@
+"""Batched inference server: micro-batching collator + HTTP surface.
+
+Reference analogue: tools/inference_server.py (LitServe, one request at a
+time). Tracked config #5 names a *batched* server — these tests pin that
+concurrent compatible requests coalesce into one generate() call and that
+incompatible shapes never share a batch.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+from PIL import Image
+
+from tools.inference_server import GenerationParams, MicroBatcher, make_handler
+
+
+class StubModel:
+    def __init__(self, delay: float = 0.05):
+        self.batches: list[list[GenerationParams]] = []
+        self.delay = delay
+
+    def generate_batch(self, batch):
+        self.batches.append(list(batch))
+        time.sleep(self.delay)  # simulate device time so requests pile up
+        return [Image.new("RGB", (p.width, p.height)) for p in batch]
+
+
+def _submit_many(batcher, params_list):
+    results = [None] * len(params_list)
+    threads = []
+
+    def run(i, p):
+        results[i] = batcher.submit(p)
+
+    for i, p in enumerate(params_list):
+        t = threading.Thread(target=run, args=(i, p))
+        t.start()
+        threads.append(t)
+        time.sleep(0.002)
+    for t in threads:
+        t.join(timeout=10)
+    return results
+
+
+def test_concurrent_compatible_requests_coalesce():
+    model = StubModel()
+    batcher = MicroBatcher(model, max_batch=4, window_ms=40)
+    params = [GenerationParams(prompt=f"p{i}", width=64, height=64) for i in range(8)]
+    results = _submit_many(batcher, params)
+    assert all(r is not None and r.size == (64, 64) for r in results)
+    sizes = sorted(len(b) for b in model.batches)
+    assert sum(sizes) == 8
+    assert max(sizes) > 1, f"no batching happened: {sizes}"
+    assert max(sizes) <= 4
+
+
+def test_incompatible_shapes_never_share_a_batch():
+    model = StubModel()
+    batcher = MicroBatcher(model, max_batch=8, window_ms=30)
+    params = [
+        GenerationParams(prompt=f"p{i}", width=64 if i % 2 else 128, height=64)
+        for i in range(6)
+    ]
+    results = _submit_many(batcher, params)
+    assert all(r is not None for r in results)
+    for batch in model.batches:
+        keys = {(p.width, p.height, p.inference_steps, p.cfg_scale) for p in batch}
+        assert len(keys) == 1
+    assert sum(len(b) for b in model.batches) == 6
+
+
+def test_error_propagates_to_every_request_in_group():
+    class Exploding(StubModel):
+        def generate_batch(self, batch):
+            raise RuntimeError("boom")
+
+    batcher = MicroBatcher(Exploding(), max_batch=4, window_ms=10)
+    errors = []
+
+    def run():
+        try:
+            batcher.submit(GenerationParams(prompt="x", width=64, height=64))
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=run) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=5)
+    assert errors == ["boom"] * 3
+
+
+def test_http_round_trip_batches():
+    model = StubModel()
+    batcher = MicroBatcher(model, max_batch=4, window_ms=40)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        payload = json.dumps({"prompt": "hi", "width": 64, "height": 64}).encode()
+
+        responses = [None] * 4
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                responses[i] = (r.status, r.headers["Content-Type"], r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert all(r is not None for r in responses)
+        for status, ctype, data in responses:
+            assert status == 200 and ctype == "image/webp" and len(data) > 0
+        assert max(len(b) for b in model.batches) > 1  # measured coalescing
+        # health endpoint still serves
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=5) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # bad payload -> 422
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"prompt": "x", "width": 65}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=5)
+            assert False, "expected 422"
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+    finally:
+        server.shutdown()

@@ -1,14 +1,20 @@
-"""Inference HTTP server (reference tools/inference_server.py).
+"""Batched inference HTTP server (reference tools/inference_server.py).
 
 The reference serves AuraFlow over LitServe; neither litserve nor fastapi
 is in this image, so the same surface is served with the stdlib http
 server: POST /predict with a JSON GenerationParams body returns image/webp
 bytes. Loads a TrainConfig YAML (model section) + optional LoRA
-safetensors, exactly like the reference (:42-59); generation runs through
-the jitted pipeline (the jax analogue of its torch.compile).
+safetensors, exactly like the reference (:42-59).
+
+Unlike the reference's one-request-at-a-time LitServe setup, concurrent
+requests are MICRO-BATCHED: a collator thread groups compatible requests
+(same width/height/steps/cfg — the static-shape key a jitted generate
+needs) arriving within a short window into one batched generate() call,
+so N concurrent users cost ~one denoise pass instead of N. This is the
+"batched inference server" of tracked config #5 (BASELINE.json).
 
   python tools/inference_server.py -C configs/auraflow.yml \
-      --tokenizer-path /path/to/tokenizer --port 8123
+      --tokenizer-path /path/to/tokenizer --port 8123 --max-batch 4
 """
 
 import os as _os
@@ -21,6 +27,7 @@ if _REPO not in _sys.path:
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from io import BytesIO
 from typing import Optional
@@ -78,19 +85,102 @@ class T2IModel:
             self.model.params = load_peft_weight(self.model.params, peft_dict)
         self._lock = threading.Lock()
 
-    def generate(self, params: GenerationParams):
-        with self._lock:  # one generation at a time per chip
+    def generate_batch(self, batch: "list[GenerationParams]"):
+        """One jitted generate over a COMPATIBLE group (same shape/steps/
+        cfg); returns one image per request, in order."""
+        with self._lock:  # one device program at a time per chip
+            head = batch[0]
             return self.model.generate(
-                prompt=params.prompt,
-                negative_prompt=params.negative_prompt,
-                num_inference_steps=params.inference_steps,
-                cfg_scale=params.cfg_scale,
-                width=params.width,
-                height=params.height,
-            )[0]
+                prompt=[p.prompt for p in batch],
+                negative_prompt=[p.negative_prompt for p in batch],
+                num_inference_steps=head.inference_steps,
+                cfg_scale=head.cfg_scale,
+                width=head.width,
+                height=head.height,
+            )
 
 
-def make_handler(model: T2IModel):
+def batch_key(params: GenerationParams) -> tuple:
+    """Requests are batchable iff everything that shapes the compiled
+    program matches; prompts/negatives ride the batch dimension."""
+    return (params.width, params.height, params.inference_steps, params.cfg_scale)
+
+
+class _Pending:
+    __slots__ = ("params", "event", "image", "error")
+
+    def __init__(self, params: GenerationParams):
+        self.params = params
+        self.event = threading.Event()
+        self.image = None
+        self.error: Optional[Exception] = None
+
+
+class MicroBatcher:
+    """Collate concurrent requests into batched generate() calls.
+
+    A single worker drains the queue: it takes the oldest request, waits
+    up to ``window_ms`` for more requests with the same batch_key, then
+    runs them as ONE generate. Incompatible requests stay queued for the
+    next round. submit() blocks the calling (HTTP handler) thread until
+    its image is ready.
+    """
+
+    def __init__(self, model, max_batch: int = 4, window_ms: float = 25.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._queue: list[_Pending] = []
+        self._cv = threading.Condition()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, params: GenerationParams):
+        item = _Pending(params)
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.image
+
+    def _take_group(self) -> "list[_Pending]":
+        with self._cv:
+            while not self._queue:
+                self._cv.wait()
+            head = self._queue[0]
+            key = batch_key(head.params)
+            deadline = time.monotonic() + self.window_s
+            while True:
+                group = [p for p in self._queue if batch_key(p.params) == key]
+                if len(group) >= self.max_batch:
+                    group = group[: self.max_batch]
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            for p in group:
+                self._queue.remove(p)
+            return group
+
+    def _run(self):
+        while True:
+            group = self._take_group()
+            try:
+                images = self.model.generate_batch([p.params for p in group])
+                for p, image in zip(group, images):
+                    p.image = image
+            except Exception as e:
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.event.set()
+
+
+def make_handler(batcher: MicroBatcher):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path not in ("/predict", "/"):
@@ -104,7 +194,7 @@ def make_handler(model: T2IModel):
                 self.send_error(422, str(e))
                 return
             try:
-                image = model.generate(params)
+                image = batcher.submit(params)
             except Exception as e:
                 self.send_error(500, str(e))
                 return
@@ -137,11 +227,17 @@ def make_handler(model: T2IModel):
 @click.option("--peft_path", type=str, default=None)
 @click.option("--tokenizer-path", type=str, default=None)
 @click.option("--port", type=int, default=8123)
-def main(config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str], port: int):
+@click.option("--max-batch", type=int, default=4)
+@click.option("--batch-window-ms", type=float, default=25.0)
+def main(
+    config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str],
+    port: int, max_batch: int, batch_window_ms: float,
+):
     print("Loading model...")
     model = T2IModel(config_path, peft_path, tokenizer_path)
-    print(f"Serving on :{port} (POST /predict)")
-    ThreadingHTTPServer(("0.0.0.0", port), make_handler(model)).serve_forever()
+    batcher = MicroBatcher(model, max_batch=max_batch, window_ms=batch_window_ms)
+    print(f"Serving on :{port} (POST /predict, micro-batch <= {max_batch})")
+    ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher)).serve_forever()
 
 
 if __name__ == "__main__":
