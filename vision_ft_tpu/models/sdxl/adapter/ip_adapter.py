@@ -310,6 +310,25 @@ class SDXLModelWithIPAdapter(SDXLModel):
         self.denoiser_class = _Denoiser
         super().__init__(config, **kwargs)
 
+        if image_encoder is None:
+            enc_cfg = config.adapter.image_encoder
+            if enc_cfg.type == "timm" and "siglip" in enc_cfg.model_name:
+                # the reference default (timm SigLIP on the host GPU,
+                # reference auto.py:103-148) runs natively on device here:
+                # no torch in the training hot loop, and it works in
+                # environments without timm at all
+                from ...vision_encoders.siglip import (
+                    JaxImageEncoder,
+                    SigLIPVisionConfig,
+                )
+
+                image_encoder = JaxImageEncoder(
+                    SigLIPVisionConfig(image_size=config.adapter.image_size),
+                    feature_type=enc_cfg.feature_type,
+                    hidden_state_index=enc_cfg.hidden_state_index,
+                    mean=config.adapter.image_mean,
+                    std=config.adapter.image_std,
+                )
         self.encoder = image_encoder
         self.manager = IPAdapterManager(adapter_cls, config.adapter)
         self.manager.set_target_paths(self._attn2_paths())
