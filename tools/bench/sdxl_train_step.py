@@ -106,7 +106,17 @@ def main() -> None:
     state, m = step(state, frozen, batch_dict, key)
     jax.block_until_ready(m)
 
+    profile_dir = None
+    for i, a in enumerate(argv):
+        if a == "--profile":
+            profile_dir = argv[i + 1]
+
     iters = 5
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(2):
+                state, m = step(state, frozen, batch_dict, key)
+            jax.block_until_ready(m)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, frozen, batch_dict, key)
