@@ -116,3 +116,44 @@ def test_open_clip_conversion_matches_reference():
     assert set(back_ours) == set(back_theirs)
     for k in back_theirs:
         np.testing.assert_allclose(np.asarray(back_ours[k]), back_theirs[k].numpy())
+
+
+def test_comfy_interop_structural_check(tmp_path):
+    """tools/comfy_interop_check.py structural mode over a real exported
+    comfy-key LoRA (the no-ComfyUI gate of reference tests/test_comfy.py)."""
+    import numpy as np
+
+    from tools.comfy_interop_check import load_lora_keys, structural_check
+    from vision_ft_tpu.models.sdxl import util as sdxl_util
+    from vision_ft_tpu.utils import safetensors as st
+
+    internal = [
+        "denoiser.input_blocks.blocks.4.1.transformer_blocks.0.attn1.to_q",
+        "text_encoder.text_encoder_1.text_model.encoder.layers.0.self_attn.q_proj",
+    ]
+    sd = {}
+    for root in internal:
+        comfy_root = sdxl_util.convert_to_comfy_key(root)
+        sd[f"{comfy_root}.lora_down.weight"] = np.zeros((4, 8), np.float32)
+        sd[f"{comfy_root}.lora_up.weight"] = np.zeros((8, 4), np.float32)
+        sd[f"{comfy_root}.alpha"] = np.asarray(4.0, np.float32)
+    path = str(tmp_path / "lora_comfy.safetensors")
+    st.save_file(sd, path)
+    keys = load_lora_keys(path)
+    assert structural_check(keys) == []
+
+    # an unconverted internal key must be flagged
+    bad = dict(sd)
+    bad["denoiser.middle_block.attn1.to_k.lora_down.weight"] = np.zeros((4, 8), np.float32)
+    st.save_file(bad, path)
+    problems = structural_check(load_lora_keys(path))
+    assert problems and "internal" in problems[0]
+
+    # a dangling lora_down (missing lora_up) must be flagged
+    dangling = {
+        "diffusion_model.middle_block.1.attn1.to_q.lora_down.weight":
+            np.zeros((4, 8), np.float32),
+    }
+    st.save_file(dangling, path)
+    problems = structural_check(load_lora_keys(path))
+    assert any("without lora_up" in p for p in problems)
