@@ -32,6 +32,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
+from ...nn.core import remat_layer
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -468,7 +469,7 @@ class MMDiT(Module):
         for i, layer in enumerate(self.double_layers):
             fn = lambda p, c, x: layer(p, c, x, global_cond, rope_freqs)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             cond_tokens, patches = fn(params["double_layers"][str(i)], cond_tokens, patches)
 
         # 5. single layers over the joint sequence
@@ -478,7 +479,7 @@ class MMDiT(Module):
             for i, layer in enumerate(self.single_layers):
                 fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
                 if self.gradient_checkpointing:
-                    fn = jax.checkpoint(fn)
+                    fn = remat_layer(fn)
                 context = fn(params["single_layers"][str(i)], context)
             patches = context[:, cond_len:]
 

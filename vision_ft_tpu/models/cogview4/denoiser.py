@@ -19,6 +19,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.timestep.embedding import TimestepEmbedding, get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
+from ...nn.core import remat_layer
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -292,7 +293,7 @@ class CogView4DiT(Module):
         for i, block in enumerate(self.transformer_blocks):
             fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             hidden_states, encoder_hidden_states = fn(
                 params["transformer_blocks"][str(i)], hidden_states, encoder_hidden_states
             )

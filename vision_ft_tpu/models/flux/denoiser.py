@@ -20,6 +20,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
+from ...nn.core import remat_layer
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -327,14 +328,14 @@ class Flux(Module):
         for i, block in enumerate(self.double_blocks):
             fn = lambda pp, im, tx: block(pp, im, tx, vec, pe)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             img, txt = fn(params["double_blocks"][str(i)], img, txt)
 
         x = jnp.concatenate([txt, img], axis=1)
         for i, block in enumerate(self.single_blocks):
             fn = lambda pp, xx: block(pp, xx, vec, pe)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             x = fn(params["single_blocks"][str(i)], x)
         img = x[:, txt.shape[1]:]
 

@@ -36,6 +36,7 @@ import numpy as np
 from ...modules.patch import unpatchify
 from ...modules.timestep.embedding import get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
+from ...nn.core import remat_layer
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -375,7 +376,7 @@ class NextDiT(Module):
             for i, layer in enumerate(self.context_refiner):
                 fn = lambda pp, c: layer(pp, c, cap_freqs, mask=caption_mask)
                 if self.gradient_checkpointing:
-                    fn = jax.checkpoint(fn)
+                    fn = remat_layer(fn)
                 caption_tokens = fn(params["context_refiner"][str(i)], caption_tokens)
 
         # 4. refine image features
@@ -385,7 +386,7 @@ class NextDiT(Module):
         for i, layer in enumerate(self.noise_refiner):
             fn = lambda pp, x: layer(pp, x, img_freqs, t_emb, image_mask)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             image_tokens = fn(params["noise_refiner"][str(i)], image_tokens)
 
         # 5. joint sequence [caption | image] with padding holes masked
@@ -397,7 +398,7 @@ class NextDiT(Module):
         for i, layer in enumerate(self.layers):
             fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
             if self.gradient_checkpointing:
-                fn = jax.checkpoint(fn)
+                fn = remat_layer(fn)
             context = fn(params["layers"][str(i)], context)
 
         # 7. final layer + take image positions (static slice)

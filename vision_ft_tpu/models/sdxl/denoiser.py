@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ...nn import Conv2d, GroupNorm, LayerNorm, Linear, Module, ModuleDict, split_keys
+from ...nn.core import remat_layer
 from ...modules.timestep.embedding import get_timestep_embedding
 from ...ops.attention import AttentionImplementation, attention_heads_packed
 from .config import DenoiserConfig
@@ -562,7 +563,7 @@ class UNet(Module):
             return x
 
         if self.gradient_checkpointing:
-            run = jax.checkpoint(run)
+            run = remat_layer(run)
         return run(x, list_params, context, global_cond)
 
     def __call__(

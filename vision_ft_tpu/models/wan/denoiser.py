@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
+from ...nn.core import remat_layer
 from ...ops.flash_attention import flash_attention
 from .config import DenoiserConfig
 
@@ -404,9 +405,7 @@ class DiT(Module):
         for i, blk in enumerate(self.blocks):
             apply = blk.__call__
             if self.gradient_checkpointing:
-                apply = jax.checkpoint(
-                    apply, static_argnums=(), policy=jax.checkpoint_policies.nothing_saveable
-                )
+                apply = remat_layer(apply)
             x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
 
         out = self.head(params["head"], x, timestep_element)

@@ -225,7 +225,9 @@ def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
             ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    unroll = 2 if num_kb % 2 == 0 and num_kb >= 2 else 1
+    unroll = 2 if (
+        num_kb % 2 == 0 and num_kb >= 2 and block_q * block_k <= _UNROLL_MAX_BLOCK
+    ) else 1
 
     def unrolled(i, dq):
         if unroll == 2:
@@ -282,7 +284,9 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
         )
         return dk, dv
 
-    unroll = 2 if num_qb % 2 == 0 and num_qb >= 2 else 1
+    unroll = 2 if (
+        num_qb % 2 == 0 and num_qb >= 2 and block_q * block_k <= _UNROLL_MAX_BLOCK
+    ) else 1
 
     def unrolled(i, carry):
         if unroll == 2:
@@ -296,10 +300,28 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_blocks(block_q, block_k, sq_pad, sk_pad):
+    """Backward block sizes: cap at 512 where the padded sequence stays
+    divisible. The bwd kernels hold ~14 B of f32/bf16 temporaries per
+    score element per in-flight loop body (s, p, dp, ds); 512x1024 blocks
+    with the 2x unroll overflow the 16 MB scoped-VMEM stack."""
+    if block_q > 512 and sq_pad % 512 == 0:
+        block_q = 512
+    if block_k > 512 and sk_pad % 512 == 0:
+        block_k = 512
+    return block_q, block_k
+
+
+# max score-block elements for which the 2x-unrolled bwd body fits the
+# VMEM stack alongside the double-buffered operand blocks
+_UNROLL_MAX_BLOCK = 512 * 512
+
+
 def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
                block_q, block_k, interpret, g_lse=None):
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
+    block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
     has_bias = bias is not None
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if g_lse is not None:
@@ -404,7 +426,13 @@ def _flash_attention_core(
 def _core_fwd(
     q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret
 ):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse = _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret)
+    # named so nn.core.remat_layer's policy can SAVE the kernel outputs
+    # instead of re-running the forward kernel in the backward pass
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, bias, o, lse)
 
 
@@ -680,8 +708,18 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             ))
         return tuple(new)
 
+    unroll = 2 if (
+        num_kb % 2 == 0 and num_kb >= 2
+        and group * block_q * block_k <= _UNROLL_MAX_BLOCK
+    ) else 1
+
+    def unrolled(i, dqs):
+        if unroll == 2:
+            return body(2 * i + 1, body(2 * i, dqs))
+        return body(i, dqs)
+
     dqs = jax.lax.fori_loop(
-        0, num_kb, body,
+        0, num_kb // unroll, unrolled,
         tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(group)),
     )
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
@@ -731,11 +769,21 @@ def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ))
         return tuple(new_dk), tuple(new_dv)
 
+    unroll = 2 if (
+        num_qb % 2 == 0 and num_qb >= 2
+        and group * block_q * block_k <= _UNROLL_MAX_BLOCK
+    ) else 1
+
+    def unrolled(i, carry):
+        if unroll == 2:
+            return body(2 * i + 1, body(2 * i, carry))
+        return body(i, carry)
+
     init = (
         tuple(jnp.zeros((block_k, d), jnp.float32) for _ in range(group)),
         tuple(jnp.zeros((block_k, d), jnp.float32) for _ in range(group)),
     )
-    dks, dvs = jax.lax.fori_loop(0, num_qb, body, init)
+    dks, dvs = jax.lax.fori_loop(0, num_qb // unroll, unrolled, init)
     dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
 
@@ -744,6 +792,7 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
                     block_q, block_k, group, d, interpret):
     b, sq_pad, inner = q.shape
     sk_pad = k.shape[1]
+    block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
     gd = group * d
     hg = inner // gd
 
@@ -815,9 +864,13 @@ def _flash_bshd_core(q, k, v, scale, causal, sq_actual, sk_actual,
 
 def _bshd_core_fwd(q, k, v, scale, causal, sq_actual, sk_actual,
                    block_q, block_k, group, d, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse = _flash_fwd_bshd(
         q, k, v, scale, causal, sk_actual, block_q, block_k, group, d, interpret
     )
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse)
 
 
@@ -842,7 +895,11 @@ def _flash_lse_core(q, k, v, scale, sq_actual, sk_actual, block_q, block_k, inte
 
 
 def _lse_core_fwd(q, k, v, scale, sq_actual, sk_actual, block_q, block_k, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse8 = _flash_fwd(q, k, v, None, scale, False, sk_actual, block_q, block_k, interpret)
+    o = checkpoint_name(o, "flash_out")
+    lse8 = checkpoint_name(lse8, "flash_lse")
     b, h, sq_pad, _ = q.shape
     return (o, lse8[:, 0, :].reshape(b, h, sq_pad)), (q, k, v, o, lse8)
 

@@ -32,6 +32,19 @@ def load_file(path: str | os.PathLike, dtype=None) -> dict[str, jax.Array]:
     return out
 
 
+def read_keys(path: str | os.PathLike) -> list[str]:
+    """Tensor names in a safetensors file WITHOUT loading any data — the
+    8-byte little-endian header length followed by a JSON header (the
+    on-disk format contract the bnb golden fixtures also pin down)."""
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(n))
+    return [k for k in header.keys() if k != "__metadata__"]
+
+
 def save_file(
     tensors: dict[str, jax.Array], path: str | os.PathLike, metadata: dict[str, str] | None = None
 ) -> None:
