@@ -3,6 +3,7 @@
 import json
 import sys
 import threading
+import time
 import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
@@ -38,20 +39,26 @@ def test_quantize_state_dict_respects_targeting(tmp_path):
 
 
 class _StubModel:
-    def __init__(self):
-        self.calls = []
+    def __init__(self, delay_s: float = 0.0):
+        self.calls = []  # one entry per generate_batch call (a list of params)
+        self.delay_s = delay_s
 
-    def generate(self, params):
-        self.calls.append(params)
-        return Image.new("RGB", (params.width, params.height), (128, 0, 0))
+    def generate_batch(self, batch):
+        self.calls.append(batch)
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        return [
+            Image.new("RGB", (p.width, p.height), (128, 0, 0)) for p in batch
+        ]
 
 
 @pytest.fixture
 def server():
-    from tools.inference_server import make_handler
+    from tools.inference_server import MicroBatcher, make_handler
 
     model = _StubModel()
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(model))
+    batcher = MicroBatcher(model, max_batch=4, window_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     yield httpd, model
@@ -73,8 +80,8 @@ def test_inference_server_round_trip(server):
 
     img = Image.open(BytesIO(data))
     assert img.size == (64, 128)
-    assert model.calls[0].prompt == "a cat"
-    assert model.calls[0].cfg_scale == 6.5  # default
+    assert model.calls[0][0].prompt == "a cat"
+    assert model.calls[0][0].cfg_scale == 6.5  # default
 
     # health endpoint
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as resp:
@@ -93,6 +100,38 @@ def test_inference_server_validation(server):
     with pytest.raises(urllib.error.HTTPError) as excinfo:
         urllib.request.urlopen(req)
     assert excinfo.value.code == 422
+
+
+def test_micro_batcher_collates_compatible_requests():
+    """4 concurrent same-shape requests -> ONE generate_batch call;
+    an incompatible shape stays out of the group (tracked config #5's
+    batched-server behavior)."""
+    from tools.inference_server import GenerationParams, MicroBatcher
+
+    model = _StubModel(delay_s=0.05)
+    batcher = MicroBatcher(model, max_batch=4, window_ms=100.0)
+
+    same = GenerationParams(prompt="a", width=64, height=64, inference_steps=2)
+    other = GenerationParams(prompt="b", width=128, height=64, inference_steps=2)
+
+    results = {}
+
+    def worker(i, params):
+        results[i] = batcher.submit(params)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, same)) for i in range(4)
+    ] + [threading.Thread(target=worker, args=(9, other))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+
+    assert len(results) == 5
+    sizes = sorted(len(c) for c in model.calls)
+    # one batch of 4 compatible + the lone incompatible one
+    assert sizes == [1, 4]
+    assert results[9].size == (128, 64)
 
 
 def _cpu_env():

@@ -101,6 +101,11 @@ def main() -> None:
         quantize_base = False
 
     denoiser.set_gradient_checkpointing(True)
+    if quantize_base:
+        # 6.8B base on a 16 GB chip: skip the flash-qkv activation saves
+        from vision_ft_tpu.nn.core import set_remat_save_qkv
+
+        set_remat_save_qkv(False)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
     params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     if quantize_base:

@@ -6,7 +6,12 @@ Linears), frozen bf16 base, cached latents/text embeddings (the
 recommended training path — SURVEY.md §3.1 notes the reference re-encodes
 both every step), gradient checkpointing on.
 
-Usage: python tools/bench/sdxl_train_step.py [--batch 4] [--res 1024]
+Usage: python tools/bench/sdxl_train_step.py [--batch 4] [--res 1024] [--nf4]
+
+--nf4 quantizes the frozen base to bnb-layout NF4 (tracked config #5's
+QLoRA posture: /root/reference's bitsandbytes NF4 + LoRA): attn/ff Linear
+weights stored packed-4bit and dequantized inside the step via the
+gather-free fused kernel.
 """
 
 from __future__ import annotations
@@ -25,12 +30,15 @@ import jax.numpy as jnp
 
 def main() -> None:
     batch, res = 4, 1024
+    nf4 = False
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--batch":
             batch = int(argv[i + 1])
         elif a == "--res":
             res = int(argv[i + 1])
+        elif a == "--nf4":
+            nf4 = True
 
     cache_dir = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -57,6 +65,10 @@ def main() -> None:
     h = w = res // 8
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
+    if nf4:
+        from vision_ft_tpu.modules.quant import quantize_params
+
+        params = quantize_params(params, "bnb_nf4", include_keys=["attn1", "attn2", ".ff."])
     params = replace_to_peft_layer(
         params,
         ["attn1", "attn2", ".ff."],

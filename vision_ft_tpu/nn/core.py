@@ -129,22 +129,32 @@ def cached_jit(obj, name: str, fn, **jit_kwargs):
     return cache[key]
 
 
+_REMAT_SAVE_QKV: list[bool] = [True]
+
+
+def set_remat_save_qkv(enabled: bool) -> None:
+    """Trace-time toggle: whether remat_layer also saves the flash
+    kernels' padded q/k/v inputs (skips rematerializing the projection
+    dots in the backward at ~3 extra saved (B,S,H*D) tensors per
+    attention). Turn OFF for memory-tight runs (e.g. 6.8B+ bases on a
+    single 16 GB chip)."""
+    _REMAT_SAVE_QKV[0] = enabled
+
+
 def remat_layer(fn):
     """Gradient-checkpoint a layer group, SAVING the Pallas flash-attention
-    residuals (the ``flash_out``/``flash_lse`` checkpoint_names tagged
-    inside the kernels' custom-VJP forwards) instead of re-running the
-    attention kernels during the backward pass. Everything else is
-    rematerialized as with plain ``jax.checkpoint``. Measured on the SDXL
-    LoRA train step: the remat recompute of the flash forward was ~80 ms
-    of an 867 ms step; the saved residuals are (B, S, H*D) outputs + lse
-    rows (~0.9 GB at batch 4 @ 1024px — well inside the 16 GB budget).
-    On paths with no flash attention the policy saves nothing, i.e. plain
-    full remat."""
+    residuals (the ``flash_out``/``flash_lse``/``flash_qkv``
+    checkpoint_names tagged inside the kernels' custom-VJP forwards)
+    instead of re-running the attention kernels — and, with qkv saved,
+    the projection dots feeding them — during the backward pass.
+    Everything else is rematerialized as with plain ``jax.checkpoint``.
+    On paths with no flash attention the policy saves nothing, i.e.
+    plain full remat."""
+    names = ["flash_out", "flash_lse"]
+    if _REMAT_SAVE_QKV[0]:
+        names.append("flash_qkv")
     return jax.checkpoint(
-        fn,
-        policy=jax.checkpoint_policies.save_only_these_names(
-            "flash_out", "flash_lse"
-        ),
+        fn, policy=jax.checkpoint_policies.save_only_these_names(*names)
     )
 
 

@@ -433,6 +433,11 @@ def _core_fwd(
     # instead of re-running the forward kernel in the backward pass
     o = checkpoint_name(o, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
+    # the kernel's OTHER residuals: saving them skips rematerializing the
+    # q/k/v projection dots feeding the attention in the backward pass
+    q = checkpoint_name(q, "flash_qkv")
+    k = checkpoint_name(k, "flash_qkv")
+    v = checkpoint_name(v, "flash_qkv")
     return o, (q, k, v, bias, o, lse)
 
 
@@ -710,7 +715,7 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     unroll = 2 if (
         num_kb % 2 == 0 and num_kb >= 2
-        and group * block_q * block_k <= _UNROLL_MAX_BLOCK
+        and block_q * block_k <= _UNROLL_MAX_BLOCK
     ) else 1
 
     def unrolled(i, dqs):
@@ -771,7 +776,7 @@ def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     unroll = 2 if (
         num_qb % 2 == 0 and num_qb >= 2
-        and group * block_q * block_k <= _UNROLL_MAX_BLOCK
+        and block_q * block_k <= _UNROLL_MAX_BLOCK
     ) else 1
 
     def unrolled(i, carry):
@@ -871,6 +876,9 @@ def _bshd_core_fwd(q, k, v, scale, causal, sq_actual, sk_actual,
     )
     o = checkpoint_name(o, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
+    q = checkpoint_name(q, "flash_qkv")
+    k = checkpoint_name(k, "flash_qkv")
+    v = checkpoint_name(v, "flash_qkv")
     return o, (q, k, v, o, lse)
 
 
