@@ -107,11 +107,17 @@ def main() -> None:
 
         set_remat_save_qkv(False)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
-    params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     if quantize_base:
+        # 6.8B bf16 zeros would fill the 16 GB chip before quantization —
+        # build + NF4-pack on host CPU, ship only the packed tree
         from vision_ft_tpu.modules.quant import quantize_params
 
-        params = quantize_params(params, "bnb_nf4", include_keys=target_keys)
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
+            params = quantize_params(params, "bnb_nf4", include_keys=target_keys)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     params = replace_to_peft_layer(
         params, target_keys, [], LoRAConfig(rank=16, alpha=8.0, dtype="bfloat16"),
         jax.random.PRNGKey(1),

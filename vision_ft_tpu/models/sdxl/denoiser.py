@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ...nn import Conv2d, GroupNorm, LayerNorm, Linear, Module, ModuleDict, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...modules.timestep.embedding import get_timestep_embedding
 from ...ops.attention import AttentionImplementation, attention_heads_packed
 from .config import DenoiserConfig
@@ -142,6 +142,11 @@ class FeedForward(ModuleDict):
         # while the tanh form differs by <= the bf16 rounding step
         # (8e-3 max on unit-normal inputs)
         h = h * jax.nn.gelu(gate, approximate=gate.dtype == jnp.bfloat16)
+        # post-gelu tag: saves the down-proj input (adapter-grad operand).
+        # Saving PRE-split instead would also skip the wide up-projection
+        # recompute, but costs 2x the bytes — measured OOM at batch 4
+        # @1024px (18.4 GB needed of 15.75)
+        h = save_name(h, "ff_inner")
         return self["net"]["2"](net["2"], h)
 
 
@@ -178,11 +183,15 @@ class TransformerBlock(ModuleDict):
     def __call__(self, params, x, context, cross_attention_kwargs=None, hw=None):
         # hw = (height, width) of the current feature map; the base block
         # ignores it (positional adapters like RoPE consume it)
+        # res_stream tags: saving the post-add stream lets the backward
+        # read it directly instead of re-running the out-projection dots
         x = x + self["attn1"](params["attn1"], self["norm1"](params["norm1"], x))
+        x = save_name(x, "res_stream")
         x = x + self["attn2"](
             params["attn2"], self["norm2"](params["norm2"], x), context,
             **(cross_attention_kwargs or {}),
         )
+        x = save_name(x, "res_stream")
         x = x + self["ff"](params["ff"], self["norm3"](params["norm3"], x))
         return x
 
@@ -281,6 +290,8 @@ class ResidualBlock(ModuleDict):
 
         e = self["emb_layers"]["1"](params["emb_layers"]["1"], jax.nn.silu(emb))
         h = h + e[:, None, None, :]
+        # saved so the second GroupNorm's backward doesn't re-run conv1
+        h = save_name(h, "conv_out")
 
         h = self["out_layers"]["0"](params["out_layers"]["0"], h)
         h = jax.nn.silu(h)

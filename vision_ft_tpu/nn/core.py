@@ -130,6 +130,7 @@ def cached_jit(obj, name: str, fn, **jit_kwargs):
 
 
 _REMAT_SAVE_QKV: list[bool] = [True]
+_REMAT_SAVE_FF: list[bool] = [True]
 
 
 def set_remat_save_qkv(enabled: bool) -> None:
@@ -139,6 +140,24 @@ def set_remat_save_qkv(enabled: bool) -> None:
     attention). Turn OFF for memory-tight runs (e.g. 6.8B+ bases on a
     single 16 GB chip)."""
     _REMAT_SAVE_QKV[0] = enabled
+
+
+def set_remat_save_ff(enabled: bool) -> None:
+    """Trace-time toggle for the *activation* saves: tensors tagged
+    ``ff_inner`` (gated feed-forward product — the ff down projection's
+    input), ``res_stream`` (post-residual-add transformer stream — skips
+    re-running the attention out-projection dots), and ``conv_out``
+    (ResBlock mid activation — skips re-running conv1). Turn OFF when
+    memory-tight."""
+    _REMAT_SAVE_FF[0] = enabled
+
+
+def save_name(x, name: str):
+    """Tag ``x`` with a checkpoint name so remat_layer policies can
+    choose to save it across the forward/backward boundary."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, name)
 
 
 def remat_layer(fn):
@@ -153,6 +172,8 @@ def remat_layer(fn):
     names = ["flash_out", "flash_lse"]
     if _REMAT_SAVE_QKV[0]:
         names.append("flash_qkv")
+    if _REMAT_SAVE_FF[0]:
+        names += ["ff_inner", "res_stream", "conv_out"]
     return jax.checkpoint(
         fn, policy=jax.checkpoint_policies.save_only_these_names(*names)
     )
