@@ -102,10 +102,11 @@ def main() -> None:
 
     denoiser.set_gradient_checkpointing(True)
     if quantize_base:
-        # 6.8B base on a 16 GB chip: skip the flash-qkv activation saves
-        from vision_ft_tpu.nn.core import set_remat_save_qkv
+        # 6.8B base on a 16 GB chip: full remat, no activation saves
+        from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
 
         set_remat_save_qkv(False)
+        set_remat_save_ff(False)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
     if quantize_base:
         # 6.8B bf16 zeros would fill the 16 GB chip before quantization —

@@ -32,7 +32,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -77,7 +77,8 @@ class AuraMLP(ModuleDict):
     def __call__(self, params, x):
         h1 = self.act(self["c_fc1"](params["c_fc1"], x))
         h2 = self["c_fc2"](params["c_fc2"], x)
-        return self["c_proj"](params["c_proj"], h1 * h2)
+        # saved under remat_layer's activation policy (c_proj's input)
+        return self["c_proj"](params["c_proj"], save_name(h1 * h2, "ff_inner"))
 
 
 class Modulation(ModuleDict):
@@ -221,13 +222,17 @@ class MMDiTBlock(ModuleDict):
 
         condition, patches = self["attn"](params["attn"], condition, patches, rope_freqs)
 
-        condition = self.normC2({}, condition_res + c_gate_msa[:, None, :] * condition)
+        condition = self.normC2(
+            {}, save_name(condition_res + c_gate_msa[:, None, :] * condition, "res_stream")
+        )
         condition = c_gate_mlp[:, None, :] * self["mlpC"](
             params["mlpC"], modulate(condition, c_shift_mlp, c_scale_mlp)
         )
         condition = condition_res + condition
 
-        patches = self.normX2({}, patches_res + x_gate_msa[:, None, :] * patches)
+        patches = self.normX2(
+            {}, save_name(patches_res + x_gate_msa[:, None, :] * patches, "res_stream")
+        )
         patches = x_gate_mlp[:, None, :] * self["mlpX"](
             params["mlpX"], modulate(patches, x_shift_mlp, x_scale_mlp)
         )
@@ -258,7 +263,9 @@ class DiTBlock(ModuleDict):
         )
         context = modulate(self.norm1({}, context), shift_msa, scale_msa)
         context = self["attn"](params["attn"], context, rope_freqs)
-        context = self.norm2({}, context_res + gate_msa[:, None, :] * context)
+        context = self.norm2(
+            {}, save_name(context_res + gate_msa[:, None, :] * context, "res_stream")
+        )
         mlp_out = self["mlp"](params["mlp"], modulate(context, shift_mlp, scale_mlp))
         return context_res + gate_mlp[:, None, :] * mlp_out
 

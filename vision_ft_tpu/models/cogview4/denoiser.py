@@ -19,7 +19,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.timestep.embedding import TimestepEmbedding, get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -144,7 +144,8 @@ class FeedForward(ModuleDict):
     def __call__(self, params, x):
         h = self["net"]["0"]["proj"](params["net"]["0"]["proj"], x)
         h = jax.nn.gelu(h, approximate=True)
-        return self["net"]["2"](params["net"]["2"], h)
+        # saved under remat_layer's activation policy (down-proj input)
+        return self["net"]["2"](params["net"]["2"], save_name(h, "ff_inner"))
 
 
 class TransformerBlock(ModuleDict):
@@ -172,8 +173,12 @@ class TransformerBlock(ModuleDict):
         ) + c_shift_msa[:, None]
 
         attn_h, attn_c = self["attn1"](params["attn1"], norm_h, norm_c, rope_freqs)
-        hidden_states = hidden_states + attn_h * gate_msa[:, None]
-        encoder_hidden_states = encoder_hidden_states + attn_c * c_gate_msa[:, None]
+        hidden_states = save_name(
+            hidden_states + attn_h * gate_msa[:, None], "res_stream"
+        )
+        encoder_hidden_states = save_name(
+            encoder_hidden_states + attn_c * c_gate_msa[:, None], "res_stream"
+        )
 
         norm_h = self.norm({}, hidden_states) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         norm_c = self.norm({}, encoder_hidden_states) * (

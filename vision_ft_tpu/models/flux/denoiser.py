@@ -20,7 +20,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -137,8 +137,10 @@ class DoubleStreamBlock(ModuleDict):
         )
 
     def _mlp(self, module, params, x):
+        # gelu output saved under remat_layer's activation policy
         h = module["0"](params["0"], x)
-        return module["2"](params["2"], jax.nn.gelu(h, approximate=True))
+        h = save_name(jax.nn.gelu(h, approximate=True), "ff_inner")
+        return module["2"](params["2"], h)
 
     def __call__(self, params, img, txt, vec, pe):
         i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = self["img_mod"](
@@ -169,10 +171,12 @@ class DoubleStreamBlock(ModuleDict):
         txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
         img = img + i_gate * self["img_attn"]["proj"](params["img_attn"]["proj"], img_attn)
+        img = save_name(img, "res_stream")
         img = img + i_gate2 * self._mlp(
             self["img_mlp"], params["img_mlp"], (1 + i_scale2) * self.norm({}, img) + i_shift2
         )
         txt = txt + t_gate * self["txt_attn"]["proj"](params["txt_attn"]["proj"], txt_attn)
+        txt = save_name(txt, "res_stream")
         txt = txt + t_gate2 * self._mlp(
             self["txt_mlp"], params["txt_mlp"], (1 + t_scale2) * self.norm({}, txt) + t_shift2
         )
@@ -209,7 +213,10 @@ class SingleStreamBlock(ModuleDict):
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hh * d)
         output = self["linear2"](
             params["linear2"],
-            jnp.concatenate([attn, jax.nn.gelu(mlp, approximate=True)], axis=2),
+            save_name(
+                jnp.concatenate([attn, jax.nn.gelu(mlp, approximate=True)], axis=2),
+                "ff_inner",
+            ),
         )
         return x + gate * output
 

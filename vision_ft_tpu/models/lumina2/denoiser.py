@@ -36,7 +36,7 @@ import numpy as np
 from ...modules.patch import unpatchify
 from ...modules.timestep.embedding import get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -151,6 +151,8 @@ class FeedForward(ModuleDict):
     def __call__(self, params, x):
         gate = self["w3"](params["w3"], x)
         h = jax.nn.silu(self["w1"](params["w1"], x)) * gate
+        # saved under remat_layer's activation policy (down-proj input)
+        h = save_name(h, "ff_inner")
         return self["w2"](params["w2"], h)
 
 
@@ -200,6 +202,7 @@ class TransformerBlock(ModuleDict):
             )
             attn = self["attention_norm2"](params["attention_norm2"], attn)
             x = x + jnp.tanh(gate_attn)[:, None, :] * attn
+            x = save_name(x, "res_stream")
 
             mlp = self["ffn_norm1"](params["ffn_norm1"], x)
             mlp = self["feed_forward"](params["feed_forward"], self.modulate(mlp, scale_mlp))
@@ -210,7 +213,7 @@ class TransformerBlock(ModuleDict):
         h = self["attention_norm1"](params["attention_norm1"], x)
         h = self["attention"](params["attention"], h, freqs, mask)
         h = self["attention_norm2"](params["attention_norm2"], h)
-        x = residual + h
+        x = save_name(residual + h, "res_stream")
         residual = x
         h = self["ffn_norm1"](params["ffn_norm1"], x)
         h = self["feed_forward"](params["feed_forward"], h)

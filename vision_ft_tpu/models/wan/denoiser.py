@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer
+from ...nn.core import remat_layer, save_name
 from ...ops.flash_attention import flash_attention
 from .config import DenoiserConfig
 
@@ -177,18 +177,20 @@ class WanBlock(ModuleDict):
 
         h = self["norm1"]({}, x) * (1 + scale_sa) + shift_sa
         attn = self["self_attn"](params["self_attn"], h, rope=rope)
-        x = x + attn.astype(jnp.float32) * gate_sa
+        x = save_name(x + attn.astype(jnp.float32) * gate_sa, "res_stream")
 
         h = self["norm3"](params["norm3"], x)
         x = x + self["cross_attn"](params["cross_attn"], h, context=context).astype(
             jnp.float32
         )
+        x = save_name(x, "res_stream")
 
         h = self["norm2"]({}, x) * (1 + scale_mlp) + shift_mlp
         wdtype = params["ffn"]["0"]["weight"].dtype
         h = self["ffn"]["0"](params["ffn"]["0"], h.astype(wdtype))
         h = jax.nn.gelu(h, approximate=True)
-        h = self["ffn"]["2"](params["ffn"]["2"], h)
+        # gelu output saved under remat_layer's activation policy
+        h = self["ffn"]["2"](params["ffn"]["2"], save_name(h, "ff_inner"))
         return x + h.astype(jnp.float32) * gate_mlp
 
 
