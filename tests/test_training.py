@@ -187,3 +187,48 @@ def test_tensor_parallel_sharding_equivalence():
     fr, ft = flatten_params(g_ref), flatten_params(g_tp)
     worst = max(float(jnp.abs(fr[k] - ft[k]).max()) for k in fr)
     assert worst < 5e-5, worst
+
+
+def test_remat_saves_modes_grad_equivalence():
+    """TrainerConfig.remat_saves modes change only memory/recompute, never
+    values: grads through a remat'd flash block are identical across
+    "none" / "kernel" / "activations"."""
+    from vision_ft_tpu.nn.core import remat_layer, save_name, set_remat_saves
+    from vision_ft_tpu.ops.pallas.flash_attention import flash_attention_bshd
+
+    def block(w, x):
+        q, k, v = x @ w["q"], x @ w["k"], x @ w["v"]
+        o = flash_attention_bshd(q, k, v, num_heads=2, interpret=True)
+        h = save_name(jax.nn.gelu(o @ w["f"]), "ff_inner")
+        return (save_name(x + h, "res_stream") ** 2).mean()
+
+    w = {
+        n: jax.random.normal(jax.random.PRNGKey(i), (128, 128), jnp.float32) * 0.1
+        for i, n in enumerate("qkvf")
+    }
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 128, 128), jnp.float32)
+
+    grads = {}
+    try:
+        for mode in ("none", "kernel", "activations"):
+            set_remat_saves(mode)
+            grads[mode] = jax.grad(remat_layer(lambda w, x: block(w, x)))(w, x)
+    finally:
+        set_remat_saves("activations")
+
+    for mode in ("kernel", "none"):
+        for k in grads["activations"]:
+            np.testing.assert_allclose(
+                np.asarray(grads[mode][k]),
+                np.asarray(grads["activations"][k]),
+                rtol=1e-6, atol=1e-6,
+            )
+
+
+def test_trainer_config_remat_saves_field():
+    from vision_ft_tpu.config import TrainerConfig
+
+    assert TrainerConfig().remat_saves == "activations"
+    assert TrainerConfig(remat_saves="none").remat_saves == "none"
+    with pytest.raises(Exception):
+        TrainerConfig(remat_saves="everything")

@@ -75,6 +75,13 @@ class TrainerConfig(BaseModel):
     torch_compile_args: dict = {}
 
     gradient_checkpointing: bool = False
+    # what the remat policy SAVES across the fwd/bwd boundary when
+    # gradient_checkpointing is on (nn.core.remat_layer):
+    #   "activations" (default) — flash (out,lse,qkv) + tagged ff/residual/
+    #     conv activations; fastest, ~2-3 GB extra at SDXL batch-4 @1024px
+    #   "kernel"      — only the flash (out,lse) kernel outputs
+    #   "none"        — plain full remat (memory-tightest; 6.8B+ bases)
+    remat_saves: Literal["activations", "kernel", "none"] = "activations"
     gradient_accumulation_steps: int = 1
 
     clip_grad_norm: Optional[float] = None

@@ -131,6 +131,19 @@ def cached_jit(obj, name: str, fn, **jit_kwargs):
 
 _REMAT_SAVE_QKV: list[bool] = [True]
 _REMAT_SAVE_FF: list[bool] = [True]
+_REMAT_SAVE_KERNEL: list[bool] = [True]
+
+
+def set_remat_saves(mode: str) -> None:
+    """Config-level remat-save policy (TrainerConfig.remat_saves):
+    "activations" saves kernel outputs + qkv + tagged activations,
+    "kernel" only the flash (out, lse) outputs, "none" is plain full
+    remat."""
+    if mode not in ("activations", "kernel", "none"):
+        raise ValueError(f"unknown remat_saves mode: {mode!r}")
+    _REMAT_SAVE_KERNEL[0] = mode in ("activations", "kernel")
+    _REMAT_SAVE_QKV[0] = mode == "activations"
+    _REMAT_SAVE_FF[0] = mode == "activations"
 
 
 def set_remat_save_qkv(enabled: bool) -> None:
@@ -169,11 +182,13 @@ def remat_layer(fn):
     Everything else is rematerialized as with plain ``jax.checkpoint``.
     On paths with no flash attention the policy saves nothing, i.e.
     plain full remat."""
-    names = ["flash_out", "flash_lse"]
+    names = ["flash_out", "flash_lse"] if _REMAT_SAVE_KERNEL[0] else []
     if _REMAT_SAVE_QKV[0]:
         names.append("flash_qkv")
     if _REMAT_SAVE_FF[0]:
         names += ["ff_inner", "res_stream", "conv_out"]
+    if not names:
+        return jax.checkpoint(fn)
     return jax.checkpoint(
         fn, policy=jax.checkpoint_policies.save_only_these_names(*names)
     )

@@ -78,6 +78,10 @@ class Trainer:
         self.debug_mode: DEBUG_MODE_TYPE = config.trainer.debug_mode
         self.gradient_accumulation_steps = config.trainer.gradient_accumulation_steps
 
+        from ..nn.core import set_remat_saves
+
+        set_remat_saves(config.trainer.remat_saves)
+
         mesh_cfg = config.trainer.mesh
         self.mesh = make_mesh(
             MeshConfig(data=mesh_cfg.data, fsdp=mesh_cfg.fsdp, tensor=mesh_cfg.tensor)
