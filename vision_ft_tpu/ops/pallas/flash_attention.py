@@ -225,9 +225,7 @@ def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
             ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    unroll = 2 if (
-        num_kb % 2 == 0 and num_kb >= 2 and block_q * block_k <= _UNROLL_MAX_BLOCK
-    ) else 1
+    unroll = _bwd_unroll(num_kb, block_q, block_k, q.shape[1])
 
     def unrolled(i, dq):
         if unroll == 2:
@@ -284,9 +282,7 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
         )
         return dk, dv
 
-    unroll = 2 if (
-        num_qb % 2 == 0 and num_qb >= 2 and block_q * block_k <= _UNROLL_MAX_BLOCK
-    ) else 1
+    unroll = _bwd_unroll(num_qb, block_q, block_k, k_blk.shape[1])
 
     def unrolled(i, carry):
         if unroll == 2:
@@ -315,6 +311,15 @@ def _bwd_blocks(block_q, block_k, sq_pad, sk_pad):
 # max score-block elements for which the 2x-unrolled bwd body fits the
 # VMEM stack alongside the double-buffered operand blocks
 _UNROLL_MAX_BLOCK = 512 * 512
+
+
+def _bwd_unroll(num_blocks: int, block_q: int, block_k: int, d: int) -> int:
+    """2x unroll when the doubled live temporaries still fit scoped VMEM.
+    The block slices scale with the lane width d: at d=256 the unrolled
+    dkv body measured 16.05 MB of 16 MB (compile OOM), at d<=128 it
+    fits."""
+    fits = block_q * block_k * max(1, d // 128) <= _UNROLL_MAX_BLOCK
+    return 2 if num_blocks % 2 == 0 and num_blocks >= 2 and fits else 1
 
 
 def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
@@ -713,10 +718,7 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             ))
         return tuple(new)
 
-    unroll = 2 if (
-        num_kb % 2 == 0 and num_kb >= 2
-        and block_q * block_k <= _UNROLL_MAX_BLOCK
-    ) else 1
+    unroll = _bwd_unroll(num_kb, block_q, block_k, group * d)
 
     def unrolled(i, dqs):
         if unroll == 2:
@@ -774,10 +776,7 @@ def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ))
         return tuple(new_dk), tuple(new_dv)
 
-    unroll = 2 if (
-        num_qb % 2 == 0 and num_qb >= 2
-        and block_q * block_k <= _UNROLL_MAX_BLOCK
-    ) else 1
+    unroll = _bwd_unroll(num_qb, block_q, block_k, group * d)
 
     def unrolled(i, carry):
         if unroll == 2:
