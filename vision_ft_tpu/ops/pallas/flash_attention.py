@@ -682,64 +682,27 @@ def flash_attention_bshd(
     return o[:, :sq, :]
 
 
-def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                        *, scale, causal, sk_actual, sk_pad, block_k, group, d):
-    q = q_ref[0]
-    do = do_ref[0]
-    block_q = q.shape[0]
-    qi = pl.program_id(2)
-    num_kb = sk_pad // block_k
+def _bwd_dkvq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dq_ref, *, scale, causal, sq_actual,
+                          sq_pad, sk_actual, block_q, group, d):
+    """One-pass backward: dk/dv for this k block, PLUS this block's dq
+    contributions accumulated into a grid-persistent f32 output.
 
-    def body(kb, dqs):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
-        new = []
-        for g in range(group):
-            qg = q[:, g * d:(g + 1) * d]
-            kg = k_blk[:, g * d:(g + 1) * d]
-            vg = v_blk[:, g * d:(g + 1) * d]
-            dog = do[:, g * d:(g + 1) * d]
-            lse_g = lse_ref[0, 0, 8 * g]
-            delta_g = delta_ref[0, 0, 8 * g]
-            s = jax.lax.dot_general(
-                qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            s = _masked_scores(
-                s, kb, qi, block_q, None,
-                causal=causal, sk_actual=sk_actual, sk_pad=sk_pad,
-            )
-            p = jnp.exp(s - lse_g[:, None])
-            dp = jax.lax.dot_general(
-                dog, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ds = (p * (dp - delta_g[:, None]) * scale).astype(kg.dtype)
-            new.append(dqs[g] + jax.lax.dot_general(
-                ds, kg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ))
-        return tuple(new)
-
-    unroll = _bwd_unroll(num_kb, block_q, block_k, group * d)
-
-    def unrolled(i, dqs):
-        if unroll == 2:
-            return body(2 * i + 1, body(2 * i, dqs))
-        return body(i, dqs)
-
-    dqs = jax.lax.fori_loop(
-        0, num_kb // unroll, unrolled,
-        tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(group)),
-    )
-    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dk_ref, dv_ref, *, scale, causal, sq_actual, sq_pad,
-                         sk_actual, block_q, group, d):
+    The separate dq kernel recomputed the same s = QK^T and dp = dO V^T
+    blocks the dkv kernel already materializes — 7 S^2 d matmuls across
+    the two passes where 5 suffice. The TPU grid runs its innermost dim
+    (ki) sequentially, and dq_ref's index map is constant in ki, so the
+    block lives in VMEM across all k blocks and flushes once per (b, g):
+    a cross-grid-step accumulator (zeroed at ki == 0)."""
     k_all = k_ref[0]  # (BK, G*d)
     v_all = v_ref[0]
     block_k = k_all.shape[0]
     ki = pl.program_id(2)
     num_qb = sq_pad // block_q
+
+    @pl.when(ki == 0)
+    def _zero_dq():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
     def body(qb, carry):
         dks, dvs = carry
@@ -774,9 +737,20 @@ def _bwd_dkv_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             new_dk.append(dks[g] + jax.lax.dot_general(
                 ds, qg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ))
+            dqg = jax.lax.dot_general(
+                ds, kg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            qs = pl.ds(qb * block_q, block_q)
+            dq_ref[0, qs, g * d:(g + 1) * d] = (
+                dq_ref[0, qs, g * d:(g + 1) * d] + dqg
+            )
         return tuple(new_dk), tuple(new_dv)
 
     unroll = _bwd_unroll(num_qb, block_q, block_k, group * d)
+    # the grid-persistent f32 dq block shares scoped VMEM with the loop
+    # temporaries — give up the unroll rather than overflow when large
+    if sq_pad * group * d * 4 > 4 * 1024 * 1024:
+        unroll = 1
 
     def unrolled(i, carry):
         if unroll == 2:
@@ -809,29 +783,9 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     ).transpose(0, 2, 3, 1)  # (B, HG, G, SQ)
     delta = jnp.repeat(delta, 8, axis=2)  # (B, HG, G*8, SQ)
 
-    dq = pl.pallas_call(
+    dk, dv, dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel_bshd, scale=scale, causal=causal,
-            sk_actual=sk_actual, sk_pad=sk_pad, block_k=block_k,
-            group=group, d=d,
-        ),
-        grid=(b, hg, sq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
-            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
-            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
-            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
-            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
-            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
-        out_shape=jax.ShapeDtypeStruct((b, sq_pad, inner), q.dtype),
-        interpret=interpret,
-    )(q, k, v, do, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel_bshd, scale=scale, causal=causal,
+            _bwd_dkvq_kernel_bshd, scale=scale, causal=causal,
             sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
             block_q=block_q, group=group, d=d,
         ),
@@ -847,14 +801,18 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
         out_specs=[
             pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
             pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+            # constant in ki: the f32 dq accumulator persists in VMEM
+            # across the sequential k-block steps (see kernel docstring)
+            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sk_pad, inner), k.dtype),
             jax.ShapeDtypeStruct((b, sk_pad, inner), v.dtype),
+            jax.ShapeDtypeStruct((b, sq_pad, inner), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, do, lse, delta)
-    return dq, dk, dv
+    return dq.astype(q.dtype), dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
