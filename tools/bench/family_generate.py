@@ -22,6 +22,7 @@ if _REPO not in sys.path:
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 class MockHFTokenizer:
@@ -77,18 +78,44 @@ def bench(name: str):
     else:
         raise SystemExit(f"unknown family {name}")
 
-    model.init_params(jax.random.PRNGKey(0))
     if name.endswith("_nf4"):
         # 6.8B-class families don't fit one 16 GB chip in bf16 (params +
         # XXL text encoder + activations) — same posture as the reference,
-        # which targets 24 GB GPUs with bitsandbytes NF4. Quantize the
-        # denoiser's Linears like tracked config #5 does.
-        from vision_ft_tpu.modules.quant import quantize_params
+        # which targets 24 GB GPUs with bitsandbytes NF4. A full bf16
+        # on-device init would OOM before quantization, so build the
+        # packed-NF4 denoiser layout straight from the abstract shapes
+        # (generate timing is value-independent) and zeros elsewhere.
+        from quant_zeros import quantize_params_zeros
 
-        model.params["denoiser"] = quantize_params(
-            model.params["denoiser"], "bnb_nf4",
-            include_keys=["attn", "mlp", "linear"], exclude_keys=["final"],
-        )
+        key = jax.random.PRNGKey(0)
+        abstract = {
+            "denoiser": jax.eval_shape(lambda k: model.denoiser.init(k, jnp.bfloat16), key),
+            "vae": jax.eval_shape(lambda k: model.vae.init(k, jnp.bfloat16), key),
+            "text_encoder": jax.eval_shape(
+                lambda k: model.text_encoder.init(k, jnp.bfloat16), key
+            ),
+        }
+        dev = jax.devices()[0]
+        model.params = {
+            "denoiser": jax.device_put(
+                quantize_params_zeros(
+                    abstract["denoiser"],
+                    ["attn", "c_fc1", "c_fc2", "c_proj", "linear_1", "linear_2"],
+                ),
+                dev,
+            ),
+            "vae": jax.device_put(
+                jax.tree.map(lambda a: np.zeros(a.shape, a.dtype), abstract["vae"]), dev
+            ),
+            "text_encoder": jax.device_put(
+                jax.tree.map(
+                    lambda a: np.zeros(a.shape, a.dtype), abstract["text_encoder"]
+                ),
+                dev,
+            ),
+        }
+    else:
+        model.init_params(jax.random.PRNGKey(0))
     print(f"[{name}] init {time.time() - t_build:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()

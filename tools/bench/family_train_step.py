@@ -101,22 +101,25 @@ def main() -> None:
         quantize_base = False
 
     denoiser.set_gradient_checkpointing(True)
-    if quantize_base:
-        # 6.8B base on a 16 GB chip: full remat, no activation saves
-        from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
+    # Both full-size configs exceed 15.75 GB HBM with the SDXL-tuned
+    # activation saves on: AuraFlow is a 6.8B base, and Lumina2's saved
+    # SwiGLU inners are 306 MB x 26 layers (batch 4 @ 1024px packs 4352
+    # tokens through a 9216-wide ff). Keep only the flash (out, lse)
+    # kernel saves; recompute projections/ff in the backward.
+    from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
 
-        set_remat_save_qkv(False)
-        set_remat_save_ff(False)
+    set_remat_save_qkv(False)
+    set_remat_save_ff(False)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
     if quantize_base:
-        # 6.8B bf16 zeros would fill the 16 GB chip before quantization —
-        # build + NF4-pack on host CPU, ship only the packed tree
-        from vision_ft_tpu.modules.quant import quantize_params
+        # 6.8B bf16 zeros would fill the 16 GB chip (and packing zeros
+        # through the real quantizer costs minutes for nothing) — build
+        # the packed-NF4 layout straight from shapes on host
+        from quant_zeros import quantize_params_zeros
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
-            params = quantize_params(params, "bnb_nf4", include_keys=target_keys)
-        params = jax.device_put(params, jax.devices()[0])
+        params = jax.device_put(
+            quantize_params_zeros(abstract, target_keys), jax.devices()[0]
+        )
     else:
         params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     params = replace_to_peft_layer(

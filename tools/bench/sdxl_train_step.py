@@ -64,11 +64,15 @@ def main() -> None:
 
     h = w = res // 8
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     if nf4:
-        from vision_ft_tpu.modules.quant import quantize_params
+        from quant_zeros import quantize_params_zeros
 
-        params = quantize_params(params, "bnb_nf4", include_keys=["attn1", "attn2", ".ff."])
+        params = jax.device_put(
+            quantize_params_zeros(abstract, ["attn1", "attn2", ".ff."]),
+            jax.devices()[0],
+        )
+    else:
+        params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
     params = replace_to_peft_layer(
         params,
         ["attn1", "attn2", ".ff."],

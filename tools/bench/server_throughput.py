@@ -1,0 +1,142 @@
+"""Batched-vs-serial inference-server throughput (tracked config #5).
+
+Measures the core claim of the micro-batched server
+(tools/inference_server.py): N concurrent compatible requests cost ~one
+batched generate() instead of N serial ones. Uses a random-weight SDXL
+at small size/steps (generate timing is value-independent) driven through
+the REAL MicroBatcher with N submitter threads, vs the same N requests
+issued back-to-back.
+
+Usage: python tools/bench/server_throughput.py [--n 4] [--res 512] [--steps 4]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+for p in (_REPO, os.path.join(_REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    n, res, steps = 4, 512, 4
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--n":
+            n = int(argv[i + 1])
+        elif a == "--res":
+            res = int(argv[i + 1])
+        elif a == "--steps":
+            steps = int(argv[i + 1])
+
+    cache_dir = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from inference_server import GenerationParams, MicroBatcher
+    from vision_ft_tpu.models.sdxl.config import SDXLConfig
+    from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
+
+    class _HashTok:
+        """Deterministic mock tokenizer (same pattern as the test suite) —
+        throughput is independent of real vocab."""
+
+        bos_token_id, eos_token_id, pad_token_id = 49406, 49407, 0
+        model_max_length = 77
+
+        def __call__(self, texts, **kw):
+            if isinstance(texts, str):
+                texts = [texts]
+            n = kw.get("max_length", 77)
+            ids = [
+                [self.bos_token_id]
+                + [(abs(hash(t)) + i) % 49000 + 1 for i in range(n - 2)]
+                + [self.eos_token_id]
+                for t in texts
+            ]
+            import numpy as np
+
+            class R(dict):
+                __getattr__ = dict.__getitem__
+
+            return R(input_ids=np.asarray(ids), attention_mask=np.ones((len(ids), n), np.int64))
+
+    config = SDXLConfig(checkpoint_path="/nonexistent.safetensors", dtype="bfloat16")
+    model = SDXLModel(config, tokenizer=_HashTok())
+    model.init_params(jax.random.PRNGKey(0), jnp.bfloat16)
+
+    class _Server:
+        def __init__(self, model):
+            self.model = model
+            self._lock = threading.Lock()
+
+        def generate_batch(self, batch):
+            with self._lock:
+                head = batch[0]
+                return self.model.generate(
+                    prompt=[p.prompt for p in batch],
+                    negative_prompt=[p.negative_prompt for p in batch],
+                    num_inference_steps=head.inference_steps,
+                    cfg_scale=head.cfg_scale,
+                    width=head.width,
+                    height=head.height,
+                )
+
+    server = _Server(model)
+    params = [
+        GenerationParams(
+            prompt=f"a photo of cat {i}", width=res, height=res, inference_steps=steps
+        )
+        for i in range(n)
+    ]
+
+    # warm both compiled shapes (batch 1 and batch n)
+    server.generate_batch(params[:1])
+    server.generate_batch(params)
+    server.generate_batch(params[:1])
+
+    t0 = time.perf_counter()
+    for p in params:
+        server.generate_batch([p])
+    serial = time.perf_counter() - t0
+
+    batcher = MicroBatcher(server, max_batch=n, window_ms=50.0)
+    results = {}
+
+    def worker(i):
+        results[i] = batcher.submit(params[i])
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batched = time.perf_counter() - t0
+    assert len(results) == n
+
+    print(
+        json.dumps(
+            {
+                "metric": f"server_throughput_speedup_{n}x{res}px{steps}steps",
+                "value": round(serial / batched, 2),
+                "unit": "x_vs_serial",
+                "serial_s": round(serial, 2),
+                "batched_s": round(batched, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
