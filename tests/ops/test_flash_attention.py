@@ -160,3 +160,27 @@ def test_attention_heads_packed_cpu_fallback_matches():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(_ref_bshd(q, k, v, h, d**-0.5)), atol=2e-5, rtol=2e-5
     )
+
+
+def test_bwd_two_pass_branch_matches_fused(monkeypatch):
+    """The BHSD backward has two code paths gated on _FUSE_DQ_MAX (fused
+    dkv+dq kernel vs separate dq pass). Small test shapes always take the
+    fused branch; force the two-pass branch and pin grad equality."""
+    from vision_ft_tpu.ops.pallas import flash_attention as fa
+
+    b, h, sq, sk, d = 1, 2, 256, 384, 64
+    q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+
+    def loss(q, k, v):
+        o = flash_attention_tpu(q, k, v, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert sq * d * 4 <= fa._FUSE_DQ_MAX  # really took the fused branch
+    monkeypatch.setattr(fa, "_FUSE_DQ_MAX", 0)
+    g_two_pass = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gf, gt, name in zip(g_fused, g_two_pass, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gt), atol=2e-5, rtol=1e-5,
+            err_msg=f"d{name} branch mismatch",
+        )
