@@ -225,6 +225,47 @@ def test_remat_saves_modes_grad_equivalence():
             )
 
 
+def test_lumina2_gqa_pre_repeat_qkv_saves():
+    """Lumina2's GQA attention tags its PRE-repeat q/k/v for the remat
+    policy (the flash kernel's own post-repeat tags are suppressed via
+    tag_qkv=False): under remat_saves="activations" the saved k/v carry
+    num_kv_heads (not num_heads) and grads match plain full remat."""
+    from jax._src.ad_checkpoint import saved_residuals
+
+    from vision_ft_tpu.models.lumina2.denoiser import SelfAttention
+    from vision_ft_tpu.nn import flatten_params
+    from vision_ft_tpu.nn.core import remat_layer, set_remat_saves
+
+    h, kv, d, b, s = 6, 2, 16, 2, 64
+    attn = SelfAttention(hidden_dim=h * d, num_heads=h, num_kv_heads=kv)
+    params = attn.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, h * d), jnp.float32)
+    ang = jnp.linspace(0.0, 3.0, b * s * (d // 2)).reshape(b, s, d // 2)
+    freqs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+    def loss(p, x):
+        return jnp.mean(jnp.square(attn(p, x, freqs)))
+
+    try:
+        set_remat_saves("activations")
+        saved = saved_residuals(remat_layer(loss), params, x)
+        shapes = [tuple(a.shape) for a, _ in saved if getattr(a, "ndim", 0) == 4]
+        assert shapes.count((b, kv, s, d)) == 2, shapes  # pre-repeat k, v
+        # only q carries num_heads; repeated k/v (two more) are NOT saved
+        assert shapes.count((b, h, s, d)) == 1, shapes
+
+        g_remat = jax.grad(remat_layer(loss))(params, x)
+        set_remat_saves("none")
+        g_full = jax.grad(remat_layer(loss))(params, x)
+    finally:
+        set_remat_saves("activations")
+    fr, ff = flatten_params(g_remat), flatten_params(g_full)
+    for key in fr:
+        np.testing.assert_allclose(
+            np.asarray(fr[key]), np.asarray(ff[key]), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_trainer_config_remat_saves_field():
     from vision_ft_tpu.config import TrainerConfig
 

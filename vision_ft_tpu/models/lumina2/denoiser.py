@@ -123,13 +123,21 @@ class SelfAttention(ModuleDict):
         q = _apply_rope_complex(q.transpose(0, 2, 1, 3), freqs)
         k = _apply_rope_complex(k.transpose(0, 2, 1, 3), freqs)
         v = v.transpose(0, 2, 1, 3)
+        # remat-save the PRE-repeat k/v (8 kv heads, 1/3 the bytes of the
+        # kernel's repeated inputs); the backward recomputes only the
+        # cheap repeat below. tag_qkv=False suppresses the kernel's own
+        # post-repeat flash_qkv tags so the policy saves these instead.
+        q = save_name(q, "flash_qkv")
+        k = save_name(k, "flash_qkv")
+        v = save_name(v, "flash_qkv")
         k = jnp.repeat(k, self.num_repeats, axis=1)
         v = jnp.repeat(v, self.num_repeats, axis=1)
         attn_mask = None
         if mask is not None:
             attn_mask = mask.astype(bool)[:, None, None, :]
         attn = scaled_dot_product_attention(
-            q, k, v, mask=attn_mask, scale=math.sqrt(1 / d), backend="flash"
+            q, k, v, mask=attn_mask, scale=math.sqrt(1 / d), backend="flash",
+            tag_qkv=False,
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         return self["out"](params["out"], attn)

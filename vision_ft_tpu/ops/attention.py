@@ -76,19 +76,25 @@ def scaled_dot_product_attention(
     dropout: float = 0.0,
     backend: AttentionImplementation = "xla",
     is_causal: bool = False,
+    tag_qkv: bool = True,
 ) -> jax.Array:
     """Scaled dot-product attention over (B, H, S, D) tensors.
 
     ``mask``: boolean (True = attend) or additive float, broadcastable to
     (B, H, Sq, Sk). Dropout is accepted for API parity but ignored (the
     reference only ever uses dropout=0.0 in attention).
+
+    ``tag_qkv=False`` (flash path): skip the kernel-internal ``flash_qkv``
+    remat-save tags; GQA callers tag their own pre-repeat k/v instead.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if backend in _FLASH_BACKENDS:
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, scale=scale, is_causal=is_causal)
+        return flash_attention(
+            q, k, v, mask=mask, scale=scale, is_causal=is_causal, tag_qkv=tag_qkv
+        )
     if backend not in _XLA_BACKENDS:
         # a typo'd backend silently degrading to the eager path is a perf
         # trap (the reference raises for unknown backends too,

@@ -47,6 +47,7 @@ def flash_attention(
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     is_causal: bool = False,
+    tag_qkv: bool = True,
 ) -> jax.Array:
     """Flash attention over (B, H, S, D). Falls back to XLA off-TPU or for
     unsupported masks."""
@@ -63,7 +64,8 @@ def flash_attention(
             from .pallas.flash_attention import flash_attention_tpu
 
             return flash_attention_tpu(
-                q, k, v, mask=key_mask, scale=scale, is_causal=is_causal
+                q, k, v, mask=key_mask, scale=scale, is_causal=is_causal,
+                tag_qkv=tag_qkv,
             )
 
     from .attention import _xla_attention

@@ -527,16 +527,18 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
 # public entry (padding + custom vjp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_core(
-    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret
+    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret,
+    tag_qkv=True,
 ):
     o, _ = _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret)
     return o
 
 
 def _core_fwd(
-    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret
+    q, k, v, bias, scale, causal, sq_actual, sk_actual, block_q, block_k, interpret,
+    tag_qkv=True,
 ):
     from jax.ad_checkpoint import checkpoint_name
 
@@ -546,14 +548,19 @@ def _core_fwd(
     o = checkpoint_name(o, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
     # the kernel's OTHER residuals: saving them skips rematerializing the
-    # q/k/v projection dots feeding the attention in the backward pass
-    q = checkpoint_name(q, "flash_qkv")
-    k = checkpoint_name(k, "flash_qkv")
-    v = checkpoint_name(v, "flash_qkv")
+    # q/k/v projection dots feeding the attention in the backward pass.
+    # tag_qkv=False lets a GQA caller tag its own PRE-repeat k/v instead
+    # (1/num_repeats the bytes); the backward then recomputes just the
+    # cheap repeat from the smaller saves (models/lumina2/denoiser.py).
+    if tag_qkv:
+        q = checkpoint_name(q, "flash_qkv")
+        k = checkpoint_name(k, "flash_qkv")
+        v = checkpoint_name(v, "flash_qkv")
     return o, (q, k, v, bias, o, lse)
 
 
-def _core_bwd(scale, causal, sq_actual, sk_actual, block_q, block_k, interpret, residuals, g):
+def _core_bwd(scale, causal, sq_actual, sk_actual, block_q, block_k, interpret,
+              tag_qkv, residuals, g):
     q, k, v, bias, o, lse = residuals
     dq, dk, dv = _flash_bwd(
         q, k, v, bias, o, lse, g, scale, causal, sq_actual, sk_actual,
@@ -573,12 +580,17 @@ def flash_attention_tpu(
     scale: Optional[float] = None,
     is_causal: bool = False,
     interpret: bool = False,
+    tag_qkv: bool = True,
 ) -> jax.Array:
     """Flash attention over (B, H, Sq, D).
 
     ``mask``: optional boolean key mask, broadcastable from (B, Sk)
     (True = attend). Full (B, H, Sq, Sk) masks are not supported here —
     the dispatcher falls back to the XLA path for those.
+
+    ``tag_qkv=False`` skips the kernel-internal ``flash_qkv``
+    checkpoint-name tags so a GQA caller can tag its own pre-repeat
+    tensors instead (see nn.core.remat_layer).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -614,7 +626,8 @@ def flash_attention_tpu(
         )
 
     out = _flash_attention_core(
-        qp, kp, vp, bias, scale, is_causal, sq, sk, block_q, block_k, interpret
+        qp, kp, vp, bias, scale, is_causal, sq, sk, block_q, block_k, interpret,
+        tag_qkv,
     )
     return out[:, :, :sq, :d]
 
