@@ -106,10 +106,12 @@ def main() -> None:
     # SwiGLU inners are 306 MB x 26 layers (batch 4 @ 1024px packs 4352
     # tokens through a 9216-wide ff). Keep only the flash (out, lse)
     # kernel saves; recompute projections/ff in the backward.
+    # --save-qkv re-enables the qkv saves (Lumina2's GQA now tags its
+    # pre-repeat k/v, ~141 MB/layer instead of 311) for A/B on-chip.
     from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
 
-    set_remat_save_qkv(False)
-    set_remat_save_ff(False)
+    set_remat_save_qkv("--save-qkv" in argv)
+    set_remat_save_ff("--save-ff" in argv)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
     if quantize_base:
         # 6.8B bf16 zeros would fill the 16 GB chip (and packing zeros

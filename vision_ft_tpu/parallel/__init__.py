@@ -1,3 +1,8 @@
+from .pipeline import (
+    pipeline_apply,
+    shard_pipeline_params,
+    stack_pipeline_stages,
+)
 from .mesh import (
     MeshConfig,
     barrier,
@@ -14,6 +19,9 @@ from .mesh import (
 
 __all__ = [
     "MeshConfig",
+    "pipeline_apply",
+    "shard_pipeline_params",
+    "stack_pipeline_stages",
     "barrier",
     "batch_sharding",
     "get_abstract_state",
