@@ -257,6 +257,7 @@ class NextDiT(Module):
         self.patch_size = config.patch_size
         self.out_channels = config.in_channels
         self.gradient_checkpointing = False
+        self._pipeline = None  # (mesh, num_microbatches, axis) — set_pipeline
 
         self.x_embedder = Linear(config.patch_size**2 * config.in_channels, hd)
         self.noise_refiner = [
@@ -317,6 +318,72 @@ class NextDiT(Module):
 
     def set_gradient_checkpointing(self, value: bool):
         self.gradient_checkpointing = value
+
+    def set_pipeline(self, mesh, num_microbatches: int, axis: str = "pipe"):
+        """Opt-in GPipe pipelining of the main depth-D transformer stack
+        over ``mesh``'s ``axis`` (parallel/pipeline.py): each pipe device
+        holds D/P layers; the global batch splits into
+        ``num_microbatches`` that flow stage-to-stage via ppermute. The
+        refiners/embedders/final layer stay replicated (2 layers each vs
+        depth 26). ``set_pipeline(None, 1)`` disables."""
+        if mesh is not None:
+            assert len(self.layers) % mesh.shape[axis] == 0, (
+                f"depth {len(self.layers)} not divisible by pipe size "
+                f"{mesh.shape[axis]}"
+            )
+        self._pipeline = (mesh, num_microbatches, axis) if mesh is not None else None
+
+    def _pipelined_main_layers(self, layer_params, context, joint_freqs, t_emb,
+                               joint_mask):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ...parallel.pipeline import pipeline_apply, stack_pipeline_stages
+
+        mesh, num_mb, axis = self._pipeline
+        depth = len(self.layers)
+        b = context.shape[0]
+        assert b % num_mb == 0, (b, num_mb)
+        layer_list = [layer_params[str(i)] for i in range(depth)]
+        stages = stack_pipeline_stages(layer_list, mesh.shape[axis])
+        # keep each device's stage slice local when params are already
+        # pipe-sharded (no-op reshard otherwise)
+        stages = jax.lax.with_sharding_constraint(
+            stages,
+            jax.tree.map(
+                lambda a: NamedSharding(mesh, PartitionSpec(axis)), stages
+            ),
+        )
+
+        def mb_split(a):
+            return a.reshape((num_mb, b // num_mb) + a.shape[1:])
+
+        block = self.layers[0]
+
+        def stage_fn(stage_params, xt):
+            def body(h, lp):
+                fn = lambda lp, h: block(
+                    lp, h, xt["freqs"], xt["t_emb"], xt["mask"]
+                )
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                return fn(lp, h), None
+
+            h, _ = jax.lax.scan(body, xt["h"], stage_params)
+            return {**xt, "h": h}
+
+        out = pipeline_apply(
+            stage_fn,
+            stages,
+            {
+                "h": mb_split(context),
+                "freqs": mb_split(joint_freqs),
+                "t_emb": mb_split(t_emb),
+                "mask": mb_split(joint_mask),
+            },
+            mesh,
+            axis=axis,
+        )
+        return out["h"].reshape(context.shape)
 
     # -- RoPE frequency assembly ------------------------------------------------
 
@@ -405,12 +472,17 @@ class NextDiT(Module):
         context = jnp.concatenate([caption_tokens, image_tokens], axis=1)
         joint_mask = jnp.concatenate([caption_mask, image_mask], axis=1)
 
-        # 6. main layers
-        for i, layer in enumerate(self.layers):
-            fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            context = fn(params["layers"][str(i)], context)
+        # 6. main layers (optionally GPipe-pipelined over a pipe mesh axis)
+        if self._pipeline is not None:
+            context = self._pipelined_main_layers(
+                params["layers"], context, joint_freqs, t_emb, joint_mask
+            )
+        else:
+            for i, layer in enumerate(self.layers):
+                fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                context = fn(params["layers"][str(i)], context)
 
         # 7. final layer + take image positions (static slice)
         context = self.final_layer(params["final_layer"], context, t_emb)
