@@ -170,6 +170,54 @@ def test_lumina2_denoiser_set_pipeline_matches_sequential():
         dn.set_gradient_checkpointing(False)
 
 
+@pytest.mark.parametrize("use_rope", [False, True])
+def test_auraflow_denoiser_set_pipeline_matches_sequential(use_rope):
+    """AuraFlow MMDiT set_pipeline: double + single stacks pipelined over
+    2 stages x 2 microbatches equal the sequential forward (learned-PE
+    and RoPE position encodings — the static-aux path)."""
+    from vision_ft_tpu.models.auraflow.config import DenoiserConfig
+    from vision_ft_tpu.models.auraflow.denoiser import Denoiser
+
+    mesh = _mesh(2)
+    kwargs = dict(
+        in_channels=4, out_channels=4, patch_size=2,
+        caption_projection_dim=64, num_double_layers=2, num_single_layers=2,
+        num_attention_heads=2, attention_head_dim=32, joint_attention_dim=48,
+        pos_embed_max_size=16 * 16, num_register_tokens=2,
+        use_flash_attn=False,
+    )
+    if use_rope:
+        kwargs.update(use_rope=True, rope_dim_sizes=[8, 12, 12])
+    dn = Denoiser(DenoiserConfig(**kwargs))
+    params = dn.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 48))
+    t = jnp.array([0.1, 0.4, 0.6, 0.9])
+
+    want = dn(params, lat, txt, t)
+    try:
+        dn.set_pipeline(mesh, num_microbatches=2)
+        got = jax.jit(lambda p: dn(p, lat, txt, t))(params)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+        )
+        dn.set_gradient_checkpointing(True)
+
+        def loss(p):
+            return jnp.mean(jnp.square(dn(p, lat, txt, t)))
+
+        g_pp = jax.jit(jax.grad(loss))(params)
+        dn.set_pipeline(None, 1)
+        g_seq = jax.jit(jax.grad(loss))(params)
+        for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-5
+            )
+    finally:
+        dn.set_pipeline(None, 1)
+        dn.set_gradient_checkpointing(False)
+
+
 def test_pipeline_lumina2_blocks():
     """Pipeline the real Lumina2 transformer block across 4 stages and
     match the sequential forward."""

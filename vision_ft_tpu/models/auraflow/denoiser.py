@@ -321,6 +321,7 @@ class MMDiT(Module):
         self.w_max = int(config.pos_embed_max_size**0.5)
         self.n_register_tokens = config.num_register_tokens
         self.gradient_checkpointing = False
+        self._pipeline = None  # (mesh, num_microbatches, axis) — set_pipeline
 
         act = config.hidden_act
         flash = config.use_flash_attn
@@ -398,6 +399,18 @@ class MMDiT(Module):
     def set_gradient_checkpointing(self, enabled: bool):
         self.gradient_checkpointing = enabled
 
+    def set_pipeline(self, mesh, num_microbatches: int, axis: str = "pipe"):
+        """Opt-in GPipe pipelining of the double + single stacks over
+        ``mesh[axis]`` (parallel/pipeline.py) — the scaling leg for this
+        6.8B family, whose bf16 params exceed one 16 GB chip. Both stack
+        depths (4 double / 32 single) must divide the pipe size.
+        ``set_pipeline(None, 1)`` disables."""
+        if mesh is not None:
+            p = mesh.shape[axis]
+            assert len(self.double_layers) % p == 0, (len(self.double_layers), p)
+            assert len(self.single_layers) % p == 0, (len(self.single_layers), p)
+        self._pipeline = (mesh, num_microbatches, axis) if mesh is not None else None
+
     # -- positional encoding --------------------------------------------------
 
     def pe_selection_index_based_on_dim(self, h: int, w: int) -> np.ndarray:
@@ -472,22 +485,60 @@ class MMDiT(Module):
             params, patches, cond_tokens.shape[1], height, width
         )
 
-        # 4. double layers
-        for i, layer in enumerate(self.double_layers):
-            fn = lambda p, c, x: layer(p, c, x, global_cond, rope_freqs)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            cond_tokens, patches = fn(params["double_layers"][str(i)], cond_tokens, patches)
+        # 4. double layers (optionally GPipe-pipelined, see set_pipeline)
+        wrap = remat_layer if self.gradient_checkpointing else None
+        if self._pipeline is not None:
+            from ...parallel.pipeline import run_pipelined_stack
+
+            mesh, num_mb, axis = self._pipeline
+            dblock = self.double_layers[0]
+
+            def double_fn(lp, carry, static):
+                c, x = dblock(lp, carry["c"], carry["x"], carry["g"], static)
+                return {"c": c, "x": x, "g": carry["g"]}
+
+            out = run_pipelined_stack(
+                double_fn,
+                [params["double_layers"][str(i)] for i in range(len(self.double_layers))],
+                {"c": cond_tokens, "x": patches, "g": global_cond},
+                rope_freqs,
+                mesh, num_mb, axis=axis, wrap=wrap,
+            )
+            cond_tokens, patches = out["c"], out["x"]
+        else:
+            for i, layer in enumerate(self.double_layers):
+                fn = lambda p, c, x: layer(p, c, x, global_cond, rope_freqs)
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                cond_tokens, patches = fn(params["double_layers"][str(i)], cond_tokens, patches)
 
         # 5. single layers over the joint sequence
         if self.single_layers:
             cond_len = cond_tokens.shape[1]
             context = jnp.concatenate([cond_tokens, patches], axis=1)
-            for i, layer in enumerate(self.single_layers):
-                fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                context = fn(params["single_layers"][str(i)], context)
+            if self._pipeline is not None:
+                mesh, num_mb, axis = self._pipeline
+                sblock = self.single_layers[0]
+
+                def single_fn(lp, carry, static):
+                    return {
+                        "h": sblock(lp, carry["h"], carry["g"], static),
+                        "g": carry["g"],
+                    }
+
+                context = run_pipelined_stack(
+                    single_fn,
+                    [params["single_layers"][str(i)] for i in range(len(self.single_layers))],
+                    {"h": context, "g": global_cond},
+                    rope_freqs,
+                    mesh, num_mb, axis=axis, wrap=wrap,
+                )["h"]
+            else:
+                for i, layer in enumerate(self.single_layers):
+                    fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
+                    if self.gradient_checkpointing:
+                        fn = remat_layer(fn)
+                    context = fn(params["single_layers"][str(i)], context)
             patches = context[:, cond_len:]
 
         # 6. final modulation + projection

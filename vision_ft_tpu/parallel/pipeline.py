@@ -59,6 +59,65 @@ def shard_pipeline_params(mesh: Mesh, stage_params, axis: str = "pipe"):
     return jax.tree.map(lambda a: jax.device_put(a, spec), stage_params)
 
 
+def run_pipelined_stack(
+    layer_fn: Callable[[Any, Any, Any], Any],
+    layer_params: list,
+    batched,
+    static,
+    mesh: Mesh,
+    num_microbatches: int,
+    axis: str = "pipe",
+    wrap: Callable | None = None,
+):
+    """Run a uniform layer stack through the GPipe schedule.
+
+    - ``layer_fn(lp, batched, static) -> batched``: one layer. ``batched``
+      is a pytree of (B, ...) arrays (activations + per-sample conditioning,
+      e.g. adaLN vectors — return unchanged leaves as-is); ``static`` is
+      batch-independent aux (rope tables) broadcast to every microbatch.
+    - ``wrap``: optional transform for the per-layer call (e.g.
+      ``nn.core.remat_layer`` for gradient checkpointing).
+
+    Splits the batch into ``num_microbatches``, pipelines over
+    ``mesh[axis]`` (len(layer_params) must divide evenly), and returns the
+    ``batched`` pytree re-assembled to full batch.
+    """
+    num_stages = mesh.shape[axis]
+    stages = stack_pipeline_stages(layer_params, num_stages)
+    stages = jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, PartitionSpec(axis))
+        ),
+        stages,
+    )
+    b = jax.tree.leaves(batched)[0].shape[0]
+    assert b % num_microbatches == 0, (b, num_microbatches)
+
+    def mb_split(a):
+        return a.reshape((num_microbatches, b // num_microbatches) + a.shape[1:])
+
+    xt = {
+        "b": jax.tree.map(mb_split, batched),
+        "s": jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (num_microbatches,) + a.shape),
+            static,
+        ),
+    }
+
+    def stage_fn(stage_params, xt):
+        def body(carry, lp):
+            fn = lambda lp, c: layer_fn(lp, c, xt["s"])
+            if wrap is not None:
+                fn = wrap(fn)
+            return fn(lp, carry), None
+
+        carry, _ = jax.lax.scan(body, xt["b"], stage_params)
+        return {"b": carry, "s": xt["s"]}
+
+    out = pipeline_apply(stage_fn, stages, xt, mesh, axis=axis)
+    return jax.tree.map(lambda a: a.reshape((b,) + a.shape[2:]), out["b"])
+
+
 def pipeline_apply(
     stage_fn: Callable[[Any, Any], Any],
     stage_params,
