@@ -218,6 +218,93 @@ def test_auraflow_denoiser_set_pipeline_matches_sequential(use_rope):
         dn.set_gradient_checkpointing(False)
 
 
+def test_cogview4_denoiser_set_pipeline_matches_sequential():
+    from vision_ft_tpu.models.cogview4.config import DenoiserConfig
+    from vision_ft_tpu.models.cogview4.denoiser import Denoiser
+
+    mesh = _mesh(2)
+    dn = Denoiser(DenoiserConfig(
+        patch_size=2, in_channels=4, out_channels=4, num_layers=2,
+        attention_head_dim=16, num_attention_heads=4, text_embed_dim=40,
+        time_embed_dim=32, condition_dim=8, rope_axes_dim=[16, 16],
+        attention_backend="eager",
+    ))
+    params = dn.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 40))
+    t = jnp.array([100.0, 700.0])
+    size = jnp.full((2, 2), 64.0)
+    crop = jnp.zeros((2, 2))
+
+    want = dn(params, lat, txt, t, size, size, crop)
+    try:
+        dn.set_pipeline(mesh, num_microbatches=2)
+        got = jax.jit(lambda p: dn(p, lat, txt, t, size, size, crop))(params)
+    finally:
+        dn.set_pipeline(None, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_wan_denoiser_set_pipeline_matches_sequential():
+    from vision_ft_tpu.models.wan.config import DenoiserConfig
+    from vision_ft_tpu.models.wan.denoiser import Denoiser
+
+    mesh = _mesh(2)
+    dn = Denoiser(DenoiserConfig(
+        type="ti2v", in_channels=8, out_channels=8, hidden_dim=64,
+        ffn_dim=128, freq_dim=32, text_dim=24, num_heads=4, num_layers=2,
+        text_length=16, patch_size=(1, 2, 2),
+    ))
+    params = dn.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 4, 4, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 24))
+    t = jnp.array([500.0, 100.0])
+
+    want = dn(params, lat, t, ctx)
+    try:
+        dn.set_pipeline(mesh, num_microbatches=2)
+        got = jax.jit(lambda p: dn(p, lat, t, ctx))(params)
+    finally:
+        dn.set_pipeline(None, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flux_denoiser_set_pipeline_partial_stacks():
+    """Flux: 1 double block (indivisible by pipe 2 — runs sequentially)
+    + 2 single blocks (pipelined). The mixed mode must match the fully
+    sequential forward."""
+    from vision_ft_tpu.models.flux.config import DenoiserConfig
+    from vision_ft_tpu.models.flux.denoiser import Denoiser
+
+    mesh = _mesh(2)
+    dn = Denoiser(DenoiserConfig(
+        type="flux1-dev", in_channels=16, out_channels=16, vec_in_dim=24,
+        context_in_dim=32, hidden_size=48, mlp_ratio=2.0, num_heads=2,
+        depth=1, depth_single_blocks=2, axes_dim=[8, 8, 8], patch_size=2,
+        vae_channels=4, guidance_embed=True, use_flash_attention=False,
+    ))
+    params = dn.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t5 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 32))
+    clip = jax.random.normal(jax.random.PRNGKey(3), (2, 24))
+    t = jnp.array([0.5, 0.9])
+    g = jnp.full((2,), 3.5)
+
+    want = dn(params, lat, t5, t, clip, guidance=g)
+    try:
+        dn.set_pipeline(mesh, num_microbatches=2)
+        got = jax.jit(lambda p: dn(p, lat, t5, t, clip, guidance=g))(params)
+    finally:
+        dn.set_pipeline(None, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    # neither stack divisible by a pipe of 7 -> rejected up front
+    mesh7 = _mesh(7)
+    with pytest.raises(AssertionError):
+        dn.set_pipeline(mesh7, 1)
+    assert dn._pipeline is None
+
+
 def test_pipeline_lumina2_blocks():
     """Pipeline the real Lumina2 transformer block across 4 stages and
     match the sequential forward."""

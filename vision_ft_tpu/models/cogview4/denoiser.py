@@ -230,6 +230,7 @@ class CogView4DiT(Module):
         self.out_channels = config.out_channels
         self.pooled_projection_dim = 3 * 2 * config.condition_dim
         self.gradient_checkpointing = False
+        self._pipeline = None  # (mesh, num_microbatches, axis) — set_pipeline
 
         self.patch_proj = Linear(config.in_channels * config.patch_size**2, self.inner_dim)
         self.text_proj = Linear(config.text_embed_dim, self.inner_dim)
@@ -267,6 +268,17 @@ class CogView4DiT(Module):
     def set_gradient_checkpointing(self, enabled: bool):
         self.gradient_checkpointing = enabled
 
+    def set_pipeline(self, mesh, num_microbatches: int, axis: str = "pipe"):
+        """Opt-in GPipe pipelining of the uniform transformer stack over
+        ``mesh[axis]`` (parallel/pipeline.py). ``set_pipeline(None, 1)``
+        disables."""
+        if mesh is not None:
+            p = mesh.shape[axis]
+            assert len(self.transformer_blocks) % p == 0, (
+                len(self.transformer_blocks), p,
+            )
+        self._pipeline = (mesh, num_microbatches, axis) if mesh is not None else None
+
     def __call__(
         self,
         params,
@@ -295,13 +307,34 @@ class CogView4DiT(Module):
             crop_coords, hidden_states.dtype,
         )
 
-        for i, block in enumerate(self.transformer_blocks):
-            fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            hidden_states, encoder_hidden_states = fn(
-                params["transformer_blocks"][str(i)], hidden_states, encoder_hidden_states
+        if self._pipeline is not None:
+            from ...parallel.pipeline import run_pipelined_stack
+
+            mesh, num_mb, axis = self._pipeline
+            block0 = self.transformer_blocks[0]
+
+            def block_fn(lp, carry, static):
+                h, c = block0(lp, carry["h"], carry["c"], carry["g"], static)
+                return {"h": h, "c": c, "g": carry["g"]}
+
+            out = run_pipelined_stack(
+                block_fn,
+                [params["transformer_blocks"][str(i)]
+                 for i in range(len(self.transformer_blocks))],
+                {"h": hidden_states, "c": encoder_hidden_states, "g": global_cond},
+                rope_freqs,
+                mesh, num_mb, axis=axis,
+                wrap=remat_layer if self.gradient_checkpointing else None,
             )
+            hidden_states, encoder_hidden_states = out["h"], out["c"]
+        else:
+            for i, block in enumerate(self.transformer_blocks):
+                fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                hidden_states, encoder_hidden_states = fn(
+                    params["transformer_blocks"][str(i)], hidden_states, encoder_hidden_states
+                )
 
         hidden_states = self.norm_out(params["norm_out"], hidden_states, global_cond)
         hidden_states = self.proj_out(params["proj_out"], hidden_states)

@@ -254,6 +254,7 @@ class Flux(Module):
         if sum(config.axes_dim) != pe_dim:
             raise ValueError(f"Got {config.axes_dim} but expected positional dim {pe_dim}")
         self.gradient_checkpointing = False
+        self._pipeline = None  # (mesh, num_microbatches, axis) — set_pipeline
 
         self.rope_frequency = RoPEFrequency(config.axes_dim, config.theta)
         self.img_in = Linear(config.in_channels, config.hidden_size)
@@ -298,6 +299,22 @@ class Flux(Module):
     def set_gradient_checkpointing(self, enabled: bool):
         self.gradient_checkpointing = enabled
 
+    def set_pipeline(self, mesh, num_microbatches: int, axis: str = "pipe"):
+        """Opt-in GPipe pipelining (parallel/pipeline.py). Each stack is
+        pipelined only if its depth divides the pipe size — Flux-dev's 19
+        double blocks are prime, so a pipe of 2 pipelines the 38 single
+        blocks (~half the 12B params) and runs doubles sequentially
+        (compose with fsdp for the rest). At least one stack must divide.
+        ``set_pipeline(None, 1)`` disables."""
+        if mesh is None:
+            self._pipeline = None
+            return
+        p = mesh.shape[axis]
+        assert (
+            len(self.double_blocks) % p == 0 or len(self.single_blocks) % p == 0
+        ), (len(self.double_blocks), len(self.single_blocks), p)
+        self._pipeline = (mesh, num_microbatches, axis)
+
     def __call__(
         self,
         params,
@@ -332,18 +349,55 @@ class Flux(Module):
         img_ids = self.rope_frequency.get_image_position_indices(height, width)
         pe = self.rope_frequency(np.concatenate([txt_ids, img_ids], axis=0))
 
-        for i, block in enumerate(self.double_blocks):
-            fn = lambda pp, im, tx: block(pp, im, tx, vec, pe)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            img, txt = fn(params["double_blocks"][str(i)], img, txt)
+        wrap = remat_layer if self.gradient_checkpointing else None
+        pipe = self._pipeline
+        if pipe is not None and len(self.double_blocks) % pipe[0].shape[pipe[2]] == 0:
+            from ...parallel.pipeline import run_pipelined_stack
+
+            mesh, num_mb, axis = pipe
+            dblock = self.double_blocks[0]
+
+            def double_fn(lp, carry, static):
+                im, tx = dblock(lp, carry["img"], carry["txt"], carry["vec"], static)
+                return {"img": im, "txt": tx, "vec": carry["vec"]}
+
+            out = run_pipelined_stack(
+                double_fn,
+                [params["double_blocks"][str(i)] for i in range(len(self.double_blocks))],
+                {"img": img, "txt": txt, "vec": vec},
+                pe, mesh, num_mb, axis=axis, wrap=wrap,
+            )
+            img, txt = out["img"], out["txt"]
+        else:
+            for i, block in enumerate(self.double_blocks):
+                fn = lambda pp, im, tx: block(pp, im, tx, vec, pe)
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                img, txt = fn(params["double_blocks"][str(i)], img, txt)
 
         x = jnp.concatenate([txt, img], axis=1)
-        for i, block in enumerate(self.single_blocks):
-            fn = lambda pp, xx: block(pp, xx, vec, pe)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            x = fn(params["single_blocks"][str(i)], x)
+        if pipe is not None and len(self.single_blocks) % pipe[0].shape[pipe[2]] == 0:
+            from ...parallel.pipeline import run_pipelined_stack
+
+            mesh, num_mb, axis = pipe
+            sblock = self.single_blocks[0]
+
+            def single_fn(lp, carry, static):
+                return {"x": sblock(lp, carry["x"], carry["vec"], static),
+                        "vec": carry["vec"]}
+
+            x = run_pipelined_stack(
+                single_fn,
+                [params["single_blocks"][str(i)] for i in range(len(self.single_blocks))],
+                {"x": x, "vec": vec},
+                pe, mesh, num_mb, axis=axis, wrap=wrap,
+            )["x"]
+        else:
+            for i, block in enumerate(self.single_blocks):
+                fn = lambda pp, xx: block(pp, xx, vec, pe)
+                if self.gradient_checkpointing:
+                    fn = remat_layer(fn)
+                x = fn(params["single_blocks"][str(i)], x)
         img = x[:, txt.shape[1]:]
 
         img = self.final_layer(params["final_layer"], img, vec)

@@ -257,6 +257,7 @@ class DiT(Module):
         self.num_heads = num_heads
         self.num_layers = num_layers
         self.gradient_checkpointing = gradient_checkpointing
+        self._pipeline = None  # (mesh, num_microbatches, axis) — set_pipeline
 
         self.text_embedding = ModuleDict(
             {"0": Linear(text_dim, dim), "2": Linear(dim, dim)}
@@ -332,6 +333,15 @@ class DiT(Module):
         x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         return x.reshape(b, f * pf, h * ph, w * pw, self.out_dim)
 
+    def set_pipeline(self, mesh, num_microbatches: int, axis: str = "pipe"):
+        """Opt-in GPipe pipelining of the uniform block stack over
+        ``mesh[axis]`` (parallel/pipeline.py). ``set_pipeline(None, 1)``
+        disables."""
+        if mesh is not None:
+            p = mesh.shape[axis]
+            assert len(self.blocks) % p == 0, (len(self.blocks), p)
+        self._pipeline = (mesh, num_microbatches, axis) if mesh is not None else None
+
     def _rope_for_grid(self, grid) -> tuple[jax.Array, jax.Array]:
         """Static per-grid cos/sin (seq, c) — concat of the three axis tables
         expanded over (f, h, w) (reference rope_apply, denoiser.py:88-96)."""
@@ -404,11 +414,32 @@ class DiT(Module):
         )
 
         x = x.astype(jnp.float32)
-        for i, blk in enumerate(self.blocks):
-            apply = blk.__call__
-            if self.gradient_checkpointing:
-                apply = remat_layer(apply)
-            x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
+        if self._pipeline is not None:
+            from ...parallel.pipeline import run_pipelined_stack
+
+            mesh, num_mb, axis = self._pipeline
+            blk0 = self.blocks[0]
+
+            def block_fn(lp, carry, static):
+                return {
+                    "x": blk0(lp, carry["x"], carry["t"], static, carry["ctx"]),
+                    "t": carry["t"], "ctx": carry["ctx"],
+                }
+
+            x = run_pipelined_stack(
+                block_fn,
+                [params["blocks"][str(i)] for i in range(len(self.blocks))],
+                {"x": x, "t": timestep_embed, "ctx": ctx},
+                rope,
+                mesh, num_mb, axis=axis,
+                wrap=remat_layer if self.gradient_checkpointing else None,
+            )["x"]
+        else:
+            for i, blk in enumerate(self.blocks):
+                apply = blk.__call__
+                if self.gradient_checkpointing:
+                    apply = remat_layer(apply)
+                x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
 
         out = self.head(params["head"], x, timestep_element)
         return self._unpatchify(out, grid)
