@@ -63,6 +63,10 @@ CASES = {
         "vision_ft_tpu.models.lumina2.train_text_to_image:Lumina2ForTextToImageTraining",
         "vision_ft_tpu.dataset.text_to_image:TextToImageDatasetConfig",
     ),
+    "configs/lumina2/text_to_image_pp.yml": (
+        "vision_ft_tpu.models.lumina2.train_text_to_image:Lumina2ForTextToImageTraining",
+        "vision_ft_tpu.dataset.text_to_image:TextToImageDatasetConfig",
+    ),
     "configs/cogview4/text_to_image.yml": (
         "vision_ft_tpu.models.cogview4.train_text_to_image:CogView4ForTextToImageTraining",
         "vision_ft_tpu.dataset.text_to_image:TextToImageDatasetConfig",

@@ -305,6 +305,101 @@ def test_flux_denoiser_set_pipeline_partial_stacks():
     assert dn._pipeline is None
 
 
+def test_train_step_on_data_x_pipe_mesh():
+    """Full jitted train step (value_and_grad + AdamW) over a
+    data2 x pipe2 mesh with the Lumina2 denoiser pipelined: loss matches
+    the single-device sequential step."""
+    import optax
+
+    from vision_ft_tpu.models.lumina2.config import DenoiserConfig
+    from vision_ft_tpu.models.lumina2.denoiser import Denoiser
+    from vision_ft_tpu.parallel import MeshConfig, make_mesh, shard_batch, shard_params
+    from vision_ft_tpu.training import make_train_step
+    from vision_ft_tpu.training.train_step import init_train_state
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1, pipe=2),
+                     devices=jax.devices()[:4])
+    assert mesh.axis_names == ("data", "pipe", "fsdp", "tensor")
+
+    dn = Denoiser(DenoiserConfig(
+        hidden_dim=48, num_heads=6, num_kv_heads=2, depth=4, refiner_depth=1,
+        axes_dims=[4, 2, 2], timestep_embed_dim=16, multiple_of=16,
+    ))
+    params = dn.init(jax.random.PRNGKey(0))
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, dn.config.in_channels))
+    cap = jax.random.normal(jax.random.PRNGKey(2), (4, 6, dn.config.caption_dim))
+    mask = jnp.ones((4, 6), bool)
+    t = jnp.linspace(0.1, 0.9, 4)
+
+    def loss_fn(trainable, frozen, batch, key):
+        vel, _, _ = dn(trainable, batch["lat"], batch["cap"], batch["t"], batch["mask"])
+        return jnp.mean(jnp.square(vel)), {}
+
+    tx = optax.adamw(1e-3)
+    batch = {"lat": lat, "cap": cap, "t": t, "mask": mask}
+
+    losses = {}
+    try:
+        for mode in ("pipelined", "sequential"):
+            if mode == "pipelined":
+                dn.set_pipeline(mesh, num_microbatches=2)
+                with mesh:
+                    p = shard_params(mesh, params)
+                    state = init_train_state(tx, p)
+                    step = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
+                    _, metrics = step(state, {}, shard_batch(mesh, batch),
+                                      jax.random.PRNGKey(3))
+            else:
+                dn.set_pipeline(None, 1)
+                state = init_train_state(tx, params)
+                step = make_train_step(loss_fn, tx, donate=False)
+                _, metrics = step(state, {}, batch, jax.random.PRNGKey(3))
+            losses[mode] = float(metrics["train/loss"])
+    finally:
+        dn.set_pipeline(None, 1)
+    assert abs(losses["pipelined"] - losses["sequential"]) < 1e-5, losses
+
+
+def test_trainer_rejects_pipe_for_non_pp_family():
+    """trainer.mesh.pipe > 1 on a model without set_pipeline fails fast
+    with a clear error instead of silently replicating."""
+    from vision_ft_tpu.config import TrainConfig
+    from vision_ft_tpu.trainer import Trainer
+
+    cfg = TrainConfig.model_validate({
+        "model": {"checkpoint_path": ""},
+        "dataset": {},
+        "optimizer": {"name": "torch.optim.AdamW", "args": {"lr": 1e-4}},
+        "seed": 0,
+        "num_train_epochs": 1,
+        "trainer": {"mesh": {"pipe": 2, "pipeline_microbatches": 2}},
+    })
+    assert cfg.trainer.mesh.pipe == 2
+
+    class StubModel:
+        def __init__(self, trainer, config):
+            self.model = object()  # no .denoiser / set_pipeline
+
+        def before_setup_model(self):
+            pass
+
+        def setup_model(self):
+            pass
+
+        def after_setup_model(self):
+            pass
+
+        def _set_is_peft(self, value):
+            pass
+
+    trainer = Trainer(cfg)
+    trainer.register_model_class(StubModel)
+    with pytest.raises(ValueError, match="set_pipeline"):
+        trainer.prepare_model()
+
+
 def test_pipeline_lumina2_blocks():
     """Pipeline the real Lumina2 transformer block across 4 stages and
     match the sequential forward."""

@@ -65,6 +65,11 @@ class MeshConfigSchema(BaseModel):
     data: int = -1
     fsdp: int = 1
     tensor: int = 1
+    # GPipe pipeline stages over the transformer stack (families with
+    # set_pipeline: Lumina2 / AuraFlow / Flux / CogView4 / Wan); the
+    # global batch splits into pipeline_microbatches per step
+    pipe: int = 1
+    pipeline_microbatches: int = 1
 
 
 class TrainerConfig(BaseModel):

@@ -34,16 +34,23 @@ class MeshConfig:
     data: int = -1
     fsdp: int = 1
     tensor: int = 1
+    # GPipe pipeline stages (parallel/pipeline.py + a family's
+    # set_pipeline); batch and params replicate over this axis by default
+    # (param STORAGE stays fsdp-sharded — each pipe device assembles only
+    # its stage slice at use via the pipeline's sharding constraint)
+    pipe: int = 1
 
-    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int]:
+    def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int, int, int]:
         n = n_devices if n_devices is not None else jax.device_count()
-        d, f, t = self.data, self.fsdp, self.tensor
-        known = max(1, f) * max(1, t)
+        d, f, t, p = self.data, self.fsdp, self.tensor, self.pipe
+        known = max(1, f) * max(1, t) * max(1, p)
         if d == -1:
-            assert n % known == 0, f"{n} devices not divisible by fsdp*tensor={known}"
+            assert n % known == 0, (
+                f"{n} devices not divisible by fsdp*tensor*pipe={known}"
+            )
             d = n // known
-        assert d * f * t == n, f"mesh {d}x{f}x{t} != {n} devices"
-        return d, f, t
+        assert d * f * t * p == n, f"mesh {d}x{f}x{t}x{p} != {n} devices"
+        return d, f, t, p
 
 
 def make_mesh(
@@ -51,11 +58,13 @@ def make_mesh(
 ) -> Mesh:
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    d, f, t = config.resolve(len(devices))
+    d, f, t, p = config.resolve(len(devices))
     # ICI-friendly ordering: tensor innermost (highest bandwidth need),
-    # data outermost (only grad all-reduce rides it).
-    arr = np.array(devices).reshape(d, f, t)
-    return Mesh(arr, ("data", "fsdp", "tensor"))
+    # data outermost (only grad all-reduce rides it); pipe sits between
+    # data and fsdp — its ppermute is one activation per tick, the
+    # lightest traffic of the four axes.
+    arr = np.array(devices).reshape(d, p, f, t)
+    return Mesh(arr, ("data", "pipe", "fsdp", "tensor"))
 
 
 # -- shardings ---------------------------------------------------------------

@@ -84,7 +84,10 @@ class Trainer:
 
         mesh_cfg = config.trainer.mesh
         self.mesh = make_mesh(
-            MeshConfig(data=mesh_cfg.data, fsdp=mesh_cfg.fsdp, tensor=mesh_cfg.tensor)
+            MeshConfig(
+                data=mesh_cfg.data, fsdp=mesh_cfg.fsdp,
+                tensor=mesh_cfg.tensor, pipe=mesh_cfg.pipe,
+            )
         )
 
         self.trackers: Optional[Trackers] = None
@@ -236,6 +239,16 @@ class Trainer:
         self.model.setup_model()
         self.setup_peft_if_needed()
         self.model.after_setup_model()
+        mesh_cfg = self.config.trainer.mesh
+        if mesh_cfg.pipe > 1:
+            dn = getattr(getattr(self.model, "model", None), "denoiser", None)
+            if dn is None or not hasattr(dn, "set_pipeline"):
+                raise ValueError(
+                    "trainer.mesh.pipe > 1 but this model family's denoiser "
+                    "has no set_pipeline (GPipe support: Lumina2 / AuraFlow "
+                    "/ Flux / CogView4 / Wan)"
+                )
+            dn.set_pipeline(self.mesh, mesh_cfg.pipeline_microbatches)
         trainable, frozen = self.split_trainable()
         n_train = sum(int(x.size) for x in jax.tree.leaves(trainable))
         n_all = n_train + sum(int(x.size) for x in jax.tree.leaves(frozen))
