@@ -162,17 +162,22 @@ def test_attention_heads_packed_cpu_fallback_matches():
     )
 
 
-def test_bwd_two_pass_branch_matches_fused(monkeypatch):
+@pytest.mark.parametrize("causal,masked", [(False, False), (True, False), (False, True)])
+def test_bwd_two_pass_branch_matches_fused(monkeypatch, causal, masked):
     """The BHSD backward has two code paths gated on _FUSE_DQ_MAX (fused
     dkv+dq kernel vs separate dq pass). Small test shapes always take the
-    fused branch; force the two-pass branch and pin grad equality."""
+    fused branch; force the two-pass branch and pin grad equality across
+    plain / causal / key-masked variants."""
     from vision_ft_tpu.ops.pallas import flash_attention as fa
 
     b, h, sq, sk, d = 1, 2, 256, 384, 64
     q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+    key_mask = jnp.asarray(np.arange(sk) < 300) if masked else None
 
     def loss(q, k, v):
-        o = flash_attention_tpu(q, k, v, interpret=True)
+        o = flash_attention_tpu(
+            q, k, v, mask=key_mask, is_causal=causal, interpret=True
+        )
         return jnp.sum(jnp.sin(o))
 
     g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
