@@ -335,55 +335,25 @@ class NextDiT(Module):
 
     def _pipelined_main_layers(self, layer_params, context, joint_freqs, t_emb,
                                joint_mask):
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        from ...parallel.pipeline import pipeline_apply, stack_pipeline_stages
+        from ...parallel.pipeline import run_pipelined_stack
 
         mesh, num_mb, axis = self._pipeline
-        depth = len(self.layers)
-        b = context.shape[0]
-        assert b % num_mb == 0, (b, num_mb)
-        layer_list = [layer_params[str(i)] for i in range(depth)]
-        stages = stack_pipeline_stages(layer_list, mesh.shape[axis])
-        # keep each device's stage slice local when params are already
-        # pipe-sharded (no-op reshard otherwise)
-        stages = jax.lax.with_sharding_constraint(
-            stages,
-            jax.tree.map(
-                lambda a: NamedSharding(mesh, PartitionSpec(axis)), stages
-            ),
-        )
-
-        def mb_split(a):
-            return a.reshape((num_mb, b // num_mb) + a.shape[1:])
-
         block = self.layers[0]
 
-        def stage_fn(stage_params, xt):
-            def body(h, lp):
-                fn = lambda lp, h: block(
-                    lp, h, xt["freqs"], xt["t_emb"], xt["mask"]
-                )
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                return fn(lp, h), None
+        def layer_fn(lp, carry, static):
+            h = block(lp, carry["h"], carry["freqs"], carry["t"], carry["mask"])
+            return {**carry, "h": h}
 
-            h, _ = jax.lax.scan(body, xt["h"], stage_params)
-            return {**xt, "h": h}
-
-        out = pipeline_apply(
-            stage_fn,
-            stages,
-            {
-                "h": mb_split(context),
-                "freqs": mb_split(joint_freqs),
-                "t_emb": mb_split(t_emb),
-                "mask": mb_split(joint_mask),
-            },
-            mesh,
-            axis=axis,
-        )
-        return out["h"].reshape(context.shape)
+        return run_pipelined_stack(
+            layer_fn,
+            [layer_params[str(i)] for i in range(len(self.layers))],
+            # joint rope freqs are caption-length-dependent, so every aux
+            # is per-sample here; no static leg
+            {"h": context, "freqs": joint_freqs, "t": t_emb, "mask": joint_mask},
+            None,
+            mesh, num_mb, axis=axis,
+            wrap=remat_layer if self.gradient_checkpointing else None,
+        )["h"]
 
     # -- RoPE frequency assembly ------------------------------------------------
 
