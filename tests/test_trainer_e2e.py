@@ -139,6 +139,73 @@ def test_full_lora_training_run(tmp_path, data_folder):
     assert "denoiser.input_blocks.blocks.0.0.weight" in flat
 
 
+def test_ema_training_run(tmp_path, data_folder):
+    """trainer.ema_decay: EMA updates after every optimizer step, lags the
+    live iterate, and is what the saving path exports."""
+    config = _make_config(
+        tmp_path, data_folder, num_train_epochs=1,
+        trainer={"gradient_accumulation_steps": 1, "ema_decay": 0.5},
+    )
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_model_class(TinySDXLTraining)
+    trainer.train()
+
+    assert trainer.ema_params is not None
+    live = flatten_params(trainer.trainable)
+    ema = flatten_params(trainer.ema_params)
+    assert live.keys() == ema.keys()
+    # EMA trails the live iterate (decay 0.5 over a couple of steps from a
+    # zero-init lora_up start: ema magnitude strictly between 0 and live)
+    moved = [
+        k for k in live
+        if "lora_up" in k and float(jnp.abs(np.asarray(live[k])).max()) > 0
+    ]
+    assert moved
+    k = moved[0]
+    assert 0 < float(jnp.abs(ema[k]).max()) < float(jnp.abs(live[k]).max())
+
+    # saving exported the EMA weights, not the live iterate
+    files = sorted((tmp_path / "out").glob("*.safetensors"))
+    sd = st.load_file(files[-1])
+    comfy_ups = {kk: v for kk, v in sd.items() if kk.endswith(".lora_up.weight")}
+    ema_ups = sorted(
+        float(jnp.abs(ema[kk]).max()) for kk in live if kk.endswith("lora_up.weight")
+        or kk.endswith("up.weight")
+    )
+    saved_ups = sorted(float(np.abs(v).max()) for v in comfy_ups.values())
+    live_ups = sorted(
+        float(jnp.abs(live[kk]).max()) for kk in live if kk.endswith("lora_up.weight")
+        or kk.endswith("up.weight")
+    )
+    assert saved_ups == pytest.approx(ema_ups, rel=1e-6)
+    assert saved_ups != pytest.approx(live_ups, rel=1e-6)
+
+
+def test_ema_math_unit():
+    from vision_ft_tpu.training.state_checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    # ema checkpoint round trip incl. the pre-EMA fallback
+    tree = {"w": jnp.ones((2, 2))}
+    opt = {"mu": jnp.zeros((2, 2))}
+    ema = {"w": jnp.full((2, 2), 0.5)}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_train_state(d, 3, tree, opt, ema=ema)
+        step, t, o, e = restore_train_state(d, tree, opt, ema_like=ema)
+        assert step == 3
+        np.testing.assert_allclose(np.asarray(e["w"]), 0.5)
+    with tempfile.TemporaryDirectory() as d:
+        save_train_state(d, 5, tree, opt)  # no ema in the checkpoint
+        step, t, o, e = restore_train_state(d, tree, opt, ema_like=ema)
+        assert step == 5
+        np.testing.assert_allclose(np.asarray(e["w"]), 1.0)  # seeded from trainable
+
+
 def test_full_finetune_trains_denoiser_only(tmp_path, data_folder):
     config = _make_config(
         tmp_path, data_folder, peft=None, num_train_epochs=1,

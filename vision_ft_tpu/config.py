@@ -117,6 +117,12 @@ class TrainerConfig(BaseModel):
     state_checkpoint_every_steps: int = 100
     resume_from_state_checkpoint: bool = True
 
+    # Exponential moving average of the trainable params (beyond the
+    # reference, which has no EMA): ema = ema*decay + p*(1-decay) after
+    # every optimizer step; saving/preview then use the EMA weights.
+    # Typical diffusion fine-tune values: 0.999-0.9999.
+    ema_decay: Optional[float] = None
+
 
 class TrainConfig(BaseModel):
     model: Union[dict, BaseModel]

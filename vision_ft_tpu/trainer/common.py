@@ -101,6 +101,7 @@ class Trainer:
         self.eval_dataloader = None
         self.preview_dataloader: Optional[DataLoader] = None
         self._current_lr = 0.0
+        self.ema_params = None  # set by prepare_optimizer when ema_decay is on
 
     # -- registration --------------------------------------------------------
 
@@ -286,6 +287,11 @@ class Trainer:
 
         self.trainable, self.frozen = self.split_trainable()
         self.opt_state = self.optimizer.init(self.trainable)
+        self.ema_params = (
+            jax.tree.map(jnp.copy, self.trainable)
+            if self.config.trainer.ema_decay is not None
+            else None
+        )
         self._build_steps()
 
     def _build_steps(self) -> None:
@@ -309,6 +315,15 @@ class Trainer:
         _silence_donation_warning_once()
         self._grad_fn = jax.jit(grad_step)
         self._apply_fn = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+        decay = self.config.trainer.ema_decay
+        if decay is not None:
+            self._ema_fn = jax.jit(
+                lambda ema, p: jax.tree.map(
+                    lambda e, x: e * decay + x.astype(e.dtype) * (1.0 - decay),
+                    ema, p,
+                ),
+                donate_argnums=(0,),
+            )
         self._zero_grads = lambda: jax.tree.map(
             lambda x: jnp.zeros(x.shape, jnp.float32), self.trainable
         )
@@ -356,10 +371,14 @@ class Trainer:
             from ..training.state_checkpoint import restore_train_state
 
             restored = restore_train_state(
-                tcfg.state_checkpoint_dir, self.trainable, self.opt_state
+                tcfg.state_checkpoint_dir, self.trainable, self.opt_state,
+                ema_like=self.ema_params,
             )
             if restored is not None:
-                step0, self.trainable, self.opt_state = restored
+                if self.ema_params is not None:
+                    step0, self.trainable, self.opt_state, self.ema_params = restored
+                else:
+                    step0, self.trainable, self.opt_state = restored
                 current_step = step0
                 self.print(f"Resumed train state from step {step0}")
 
@@ -397,6 +416,10 @@ class Trainer:
                         self.trainable, self.opt_state, grads_acc
                     )
                     grads_acc = None
+                    if self.ema_params is not None:
+                        self.ema_params = self._ema_fn(
+                            self.ema_params, self.trainable
+                        )
 
                 loss_value = float(loss)
                 self.model.log("train/loss", loss_value, on_step=True, on_epoch=True)
@@ -421,7 +444,7 @@ class Trainer:
 
                     save_train_state(
                         tcfg.state_checkpoint_dir, current_step,
-                        self.trainable, self.opt_state,
+                        self.trainable, self.opt_state, ema=self.ema_params,
                     )
 
                 if self.debug_mode == "1step":
@@ -437,9 +460,12 @@ class Trainer:
     def _sync_model_params(self) -> None:
         """Fold the live trainable tree back into the model params (for
         saving and preview). Schedule-free optimizers evaluate at the
-        averaged iterate (reference optimizer.eval())."""
+        averaged iterate (reference optimizer.eval()); with ema_decay set
+        the EMA weights are what gets saved/previewed."""
         trainable = self.trainable
-        if is_schedule_free(self.optimizer_name):
+        if self.ema_params is not None:
+            trainable = self.ema_params
+        elif is_schedule_free(self.optimizer_name):
             trainable = eval_params(self.optimizer_name, self.opt_state, trainable)
         self.model.set_params(merge_params(self.frozen, trainable))
 

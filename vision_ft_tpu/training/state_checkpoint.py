@@ -20,7 +20,8 @@ def _checkpointer():
 
 
 def save_train_state(
-    directory: str, step: int, trainable: Any, opt_state: Any
+    directory: str, step: int, trainable: Any, opt_state: Any,
+    ema: Optional[Any] = None,
 ) -> str:
     """Write the state under <directory>/step_<N>; returns the path.
     Previous step dirs are kept (pruning is the operator's call)."""
@@ -30,6 +31,8 @@ def save_train_state(
         "trainable": trainable,
         "opt_state": opt_state,
     }
+    if ema is not None:
+        state["ema"] = ema
     _checkpointer().save(path, state, force=True)
     return path
 
@@ -48,10 +51,14 @@ def latest_checkpoint_step(directory: str) -> Optional[int]:
 
 
 def restore_train_state(
-    directory: str, trainable_like: Any, opt_state_like: Any
-) -> Optional[tuple[int, Any, Any]]:
+    directory: str, trainable_like: Any, opt_state_like: Any,
+    ema_like: Optional[Any] = None,
+) -> Optional[tuple[int, Any, Any] | tuple[int, Any, Any, Any]]:
     """Restore the newest step_<N> state; None if absent. The *_like
-    arguments provide the pytree structure/shape/dtype targets."""
+    arguments provide the pytree structure/shape/dtype targets. With
+    ``ema_like`` a 4-tuple (step, trainable, opt_state, ema) is returned
+    (ema falls back to the restored trainable for checkpoints written
+    before EMA was enabled)."""
     step = latest_checkpoint_step(directory)
     if step is None:
         return None
@@ -61,5 +68,18 @@ def restore_train_state(
         "trainable": trainable_like,
         "opt_state": opt_state_like,
     }
+    if ema_like is not None:
+        try:
+            restored = _checkpointer().restore(
+                path, item={**target, "ema": ema_like}
+            )
+            ema = restored["ema"]
+        except Exception:  # checkpoint predates EMA: seed it from trainable
+            restored = _checkpointer().restore(path, item=target)
+            ema = restored["trainable"]
+        return (
+            int(restored["step"]), restored["trainable"],
+            restored["opt_state"], ema,
+        )
     restored = _checkpointer().restore(path, item=target)
     return int(restored["step"]), restored["trainable"], restored["opt_state"]
