@@ -93,5 +93,41 @@ def main() -> None:
     )
 
 
+def _backend_ready(timeout_s: float = 120.0) -> bool:
+    """Probe backend init in a subprocess (a wedged axon tunnel HANGS
+    jax.devices(), and a failed init is cached for the process life)."""
+    import subprocess
+    import sys
+
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    import os
+    import sys
+
+    # The axon TPU tunnel can flap for minutes; don't lose the round's
+    # number to a transient init failure. Retry the probe for up to
+    # BENCH_INIT_RETRIES minutes, then run (falls through to the CPU
+    # smoke path only if JAX itself picks cpu).
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "10"))
+    for attempt in range(retries):
+        if _backend_ready():
+            break
+        print(
+            f"bench: backend not ready (attempt {attempt + 1}/{retries}); "
+            "retrying in 60s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
     main()
