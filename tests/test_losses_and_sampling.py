@@ -117,3 +117,36 @@ def test_flux_schedule_monotone():
     assert all(a > b for a, b in zip(ts, ts[1:]))
     lin = get_linear_schedule(10)
     assert lin[0] == 1.0 and lin[-1] == 0.0
+
+
+def test_min_snr_weighted_loss():
+    """min-SNR-gamma weighting: matches the hand-computed per-sample
+    weighting, reduces to plain MSE as gamma -> inf, and down-weights
+    low-noise (high-SNR) timesteps."""
+    from vision_ft_tpu.modules.loss.diffusion import (
+        get_alphas_cumprod,
+        loss_with_predicted_noise,
+        min_snr_weighted_loss,
+    )
+
+    key = jax.random.PRNGKey(0)
+    b = 4
+    noise = jax.random.normal(key, (b, 8, 8, 4))
+    pred = noise + 0.1 * jax.random.normal(jax.random.PRNGKey(1), noise.shape)
+    t = jnp.array([10, 300, 600, 990])
+
+    got = min_snr_weighted_loss(None, noise, pred, t, gamma=5.0)
+    a = get_alphas_cumprod()[t]
+    snr = a / (1 - a)
+    w = jnp.minimum(snr, 5.0) / snr
+    per = jnp.mean(jnp.square(pred - noise).reshape(b, -1), axis=1)
+    np.testing.assert_allclose(float(got), float(jnp.mean(w * per)), rtol=1e-6)
+
+    # gamma -> inf: unweighted
+    hi = min_snr_weighted_loss(None, noise, pred, t, gamma=1e9)
+    np.testing.assert_allclose(
+        float(hi), float(loss_with_predicted_noise(None, noise, pred)), rtol=1e-6
+    )
+
+    # early timesteps (high SNR) carry weight < 1; late ones ~= 1
+    assert float(w[0]) < 0.1 and float(w[3]) == pytest.approx(1.0)

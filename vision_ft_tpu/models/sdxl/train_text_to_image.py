@@ -25,7 +25,11 @@ from PIL.Image import Image
 from ...config import TrainConfig
 from ...models.for_training import ModelForTraining
 from ...modules.long_prompt import tokenize_long_prompt
-from ...modules.loss.diffusion import loss_with_predicted_noise, prepare_noised_latents
+from ...modules.loss.diffusion import (
+    loss_with_predicted_noise,
+    min_snr_weighted_loss,
+    prepare_noised_latents,
+)
 from ...modules.peft import get_adapter_parameters, merge_params
 from ...modules.timestep.sampling import uniform_randint
 from .config import SDXLConfig
@@ -44,6 +48,10 @@ class SDXLForTextToImageTrainingConfig(SDXLConfig):
     # caption string — near-100% hit rate since captions are static.
     cache_latents: bool = False
     cache_text_embeddings: bool = False
+
+    # Min-SNR-gamma loss weighting (modules/loss/diffusion.py
+    # min_snr_weighted_loss); None = plain epsilon MSE like the reference
+    min_snr_gamma: Optional[float] = None
 
 
 def _default_tokenizer():
@@ -243,7 +251,13 @@ class SDXLForTextToImageTraining(ModelForTraining):
         )
 
         # 4. loss
-        loss = loss_with_predicted_noise(latents, random_noise, noise_pred)
+        if self.model_config.min_snr_gamma is not None:
+            loss = min_snr_weighted_loss(
+                latents, random_noise, noise_pred, timesteps,
+                gamma=self.model_config.min_snr_gamma,
+            )
+        else:
+            loss = loss_with_predicted_noise(latents, random_noise, noise_pred)
         return loss, {}
 
     def eval_step(self, batch):

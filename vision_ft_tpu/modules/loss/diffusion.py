@@ -67,3 +67,30 @@ def loss_with_predicted_noise(
     """Mean MSE vs. the injected noise, in fp32."""
     diff = predicted_noise.astype(jnp.float32) - random_noise.astype(jnp.float32)
     return jnp.mean(jnp.square(diff))
+
+
+def min_snr_weighted_loss(
+    latents: jax.Array,  # unused; kept for signature symmetry
+    random_noise: jax.Array,
+    predicted_noise: jax.Array,
+    timestep: jax.Array,
+    gamma: float = 5.0,
+    beta_start: float = 0.00085,
+    beta_end: float = 0.012,
+    num_train_timesteps: int = 1000,
+) -> jax.Array:
+    """Min-SNR-gamma weighted epsilon MSE (Hang et al. 2023,
+    arXiv:2303.09556) — beyond the reference, which has no timestep loss
+    weighting. Per-sample weight = min(SNR(t), gamma) / SNR(t) with
+    SNR(t) = a / (1 - a); down-weights the low-noise timesteps whose
+    near-trivial denoising objective otherwise dominates the gradient.
+    Reduces to the unweighted loss as gamma -> inf."""
+    alphas_cumprod = get_alphas_cumprod(beta_start, beta_end, num_train_timesteps)
+    a = alphas_cumprod[timestep].astype(jnp.float32)  # (B,)
+    snr = a / (1.0 - a)
+    weight = jnp.minimum(snr, gamma) / snr  # (B,)
+    diff = predicted_noise.astype(jnp.float32) - random_noise.astype(jnp.float32)
+    per_sample = jnp.mean(
+        jnp.square(diff).reshape(diff.shape[0], -1), axis=1
+    )
+    return jnp.mean(weight * per_sample)
