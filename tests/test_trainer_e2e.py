@@ -154,6 +154,9 @@ def test_ema_training_run(tmp_path, data_folder):
     assert trainer.ema_params is not None
     live = flatten_params(trainer.trainable)
     ema = flatten_params(trainer.ema_params)
+    # fp32 accumulator regardless of param dtype: at decay 0.999+ a bf16
+    # EMA increment rounds to zero and the average never moves
+    assert all(v.dtype == jnp.float32 for v in ema.values())
     assert live.keys() == ema.keys()
     # EMA trails the live iterate (decay 0.5 over a couple of steps from a
     # zero-init lora_up start: ema magnitude strictly between 0 and live)

@@ -237,17 +237,33 @@ def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias, block_q):
+def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual,
+                    has_bias, block_q, fuse_dq=False):
+    """BHSD backward dk/dv pass; with ``fuse_dq`` it is the one-pass
+    backward: dq accumulates into a grid-persistent f32 output (see
+    _bwd_dkvq_kernel_bshd — same trick: the dq block's index map is
+    constant in the sequential ki grid dim, so it stays in VMEM and
+    flushes once per (batch, head)). Fusion is used when the f32 dq
+    block fits scoped VMEM (_FUSE_DQ_MAX); the two-pass path remains for
+    large sq*d (d=256 heads)."""
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, *dq_refs) = refs
     else:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, *dq_refs) = refs
+    dq_ref = dq_refs[0] if fuse_dq else None
     k_blk = k_ref[0]  # (BK, D) native dtype
     v_blk = v_ref[0]
     block_k = k_blk.shape[0]
     ki = pl.program_id(1)
     num_qb = sq_pad // block_q
     bias_row = bias_ref[0, 0, pl.ds(ki * block_k, block_k)] if has_bias else None
+
+    if fuse_dq:
+        @pl.when(ki == 0)
+        def _zero_dq():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
 
     def body(qb, carry):
         dk, dv = carry
@@ -280,84 +296,17 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual, has_bias
         dk = dk + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if fuse_dq:
+            dqb = jax.lax.dot_general(
+                ds, k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            qs = pl.ds(qb * block_q, block_q)
+            dq_ref[0, qs, :] = dq_ref[0, qs, :] + dqb
         return dk, dv
 
     unroll = _bwd_unroll(num_qb, block_q, block_k, k_blk.shape[1])
-
-    def unrolled(i, carry):
-        if unroll == 2:
-            return body(2 * i + 1, body(2 * i, carry))
-        return body(i, carry)
-
-    dk = jnp.zeros(k_blk.shape, jnp.float32)
-    dv = jnp.zeros(v_blk.shape, jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb // unroll, unrolled, (dk, dv))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-def _bwd_dkvq_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual,
-                     has_bias, block_q):
-    """BHSD one-pass backward: dk/dv plus dq accumulated into a
-    grid-persistent f32 output (see _bwd_dkvq_kernel_bshd — same trick:
-    the dq block's index map is constant in the sequential ki grid dim,
-    so it stays in VMEM and flushes once per (batch, head)). Used when
-    the f32 dq block fits scoped VMEM (_FUSE_DQ_MAX); the two-pass path
-    remains for large sq*d (d=256 heads)."""
-    if has_bias:
-        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dq_ref) = refs
-    else:
-        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dq_ref = refs
-    k_blk = k_ref[0]  # (BK, D) native dtype
-    v_blk = v_ref[0]
-    block_k = k_blk.shape[0]
-    ki = pl.program_id(1)
-    num_qb = sq_pad // block_q
-    bias_row = bias_ref[0, 0, pl.ds(ki * block_k, block_k)] if has_bias else None
-
-    @pl.when(ki == 0)
-    def _zero_dq():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
-
-    def body(qb, carry):
-        dk, dv = carry
-        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :]
-        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :]
-        lse_blk = lse_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        delta_blk = delta_ref[0, 0, pl.ds(qb * block_q, block_q)]
-        s = jax.lax.dot_general(
-            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK)
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
-        if bias_row is not None:
-            s = s + bias_row[None, :]
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        if causal:
-            s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        p = jnp.exp(s - lse_blk[:, None])
-        p = jnp.where(q_pos < sq_actual, p, 0.0)  # padded q rows
-        dv = dv + jax.lax.dot_general(
-            p.astype(do_blk.dtype), do_blk,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (p * (dp - delta_blk[:, None]) * scale).astype(q_blk.dtype)
-        dk = dk + jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dqb = jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        qs = pl.ds(qb * block_q, block_q)
-        dq_ref[0, qs, :] = dq_ref[0, qs, :] + dqb
-        return dk, dv
-
-    unroll = _bwd_unroll(num_qb, block_q, block_k, k_blk.shape[1])
-    if sq_pad * k_blk.shape[1] * 4 > 2 * 1024 * 1024:
+    if fuse_dq and sq_pad * k_blk.shape[1] * 4 > 2 * 1024 * 1024:
         unroll = 1  # leave headroom for the persistent dq block
 
     def unrolled(i, carry):
@@ -476,9 +425,9 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
     if fuse_dq:
         dk, dv, dq_f32 = pl.pallas_call(
             functools.partial(
-                _bwd_dkvq_kernel, scale=scale, causal=causal,
+                _bwd_dkv_kernel, scale=scale, causal=causal,
                 sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
-                has_bias=has_bias, block_q=block_q,
+                has_bias=has_bias, block_q=block_q, fuse_dq=True,
             ),
             grid=(b * h, sk_pad // block_k),
             in_specs=dkv_specs,

@@ -1,5 +1,6 @@
 from .pipeline import (
     pipeline_apply,
+    run_pipelined_stack,
     shard_pipeline_params,
     stack_pipeline_stages,
 )
@@ -20,6 +21,7 @@ from .mesh import (
 __all__ = [
     "MeshConfig",
     "pipeline_apply",
+    "run_pipelined_stack",
     "shard_pipeline_params",
     "stack_pipeline_stages",
     "barrier",

@@ -16,6 +16,11 @@ diagonal; M + P - 1 ticks total, bubble fraction (P-1)/(M+P-1)).
 Backward needs no separate machinery: ``jax.grad`` of scan+ppermute IS
 the reverse schedule (ppermute transposes to the reverse rotation).
 
+On a mesh that also carries a data axis, the intra-microbatch batch dim
+shards over it (the pipe and data axes compose instead of replicating
+work); batch-independent static aux enters as a separate replicated
+argument and never rides the ppermute rotation.
+
 Works under jit on any backend the mesh spans; differentiable end to end.
 """
 
@@ -37,6 +42,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+_NO_STATIC = object()  # sentinel: stage_fn takes (params, x), no static arg
 
 
 def stack_pipeline_stages(layer_params: list, num_stages: int):
@@ -68,19 +75,22 @@ def run_pipelined_stack(
     num_microbatches: int,
     axis: str = "pipe",
     wrap: Callable | None = None,
+    batch_axis: str = "data",
 ):
     """Run a uniform layer stack through the GPipe schedule.
 
     - ``layer_fn(lp, batched, static) -> batched``: one layer. ``batched``
       is a pytree of (B, ...) arrays (activations + per-sample conditioning,
       e.g. adaLN vectors — return unchanged leaves as-is); ``static`` is
-      batch-independent aux (rope tables) broadcast to every microbatch.
+      batch-independent aux (rope tables), passed to every layer call
+      as-is (replicated; it does not rotate around the pipe ring).
     - ``wrap``: optional transform for the per-layer call (e.g.
       ``nn.core.remat_layer`` for gradient checkpointing).
 
     Splits the batch into ``num_microbatches``, pipelines over
-    ``mesh[axis]`` (len(layer_params) must divide evenly), and returns the
-    ``batched`` pytree re-assembled to full batch.
+    ``mesh[axis]``, shards the per-microbatch batch dim over
+    ``batch_axis`` when the mesh has one, and returns the ``batched``
+    pytree re-assembled to full batch.
     """
     num_stages = mesh.shape[axis]
     stages = stack_pipeline_stages(layer_params, num_stages)
@@ -91,54 +101,63 @@ def run_pipelined_stack(
         stages,
     )
     b = jax.tree.leaves(batched)[0].shape[0]
-    assert b % num_microbatches == 0, (b, num_microbatches)
+    assert b % num_microbatches == 0, (
+        f"batch {b} not divisible by pipeline_microbatches {num_microbatches}"
+    )
+    mb = b // num_microbatches
+    dshard = mesh.shape.get(batch_axis, 1)
+    if dshard > 1:
+        assert mb % dshard == 0, (
+            f"microbatch size {mb} (batch {b} / {num_microbatches} "
+            f"microbatches) not divisible by the {batch_axis} axis ({dshard})"
+        )
 
     def mb_split(a):
-        return a.reshape((num_microbatches, b // num_microbatches) + a.shape[1:])
+        return a.reshape((num_microbatches, mb) + a.shape[1:])
 
-    xt = {
-        "b": jax.tree.map(mb_split, batched),
-        "s": jax.tree.map(
-            lambda a: jnp.broadcast_to(a[None], (num_microbatches,) + a.shape),
-            static,
-        ),
-    }
-
-    def stage_fn(stage_params, xt):
+    def stage_fn(stage_params, x, st):
         def body(carry, lp):
-            fn = lambda lp, c: layer_fn(lp, c, xt["s"])
+            fn = lambda lp, c: layer_fn(lp, c, st)
             if wrap is not None:
                 fn = wrap(fn)
             return fn(lp, carry), None
 
-        carry, _ = jax.lax.scan(body, xt["b"], stage_params)
-        return {"b": carry, "s": xt["s"]}
+        carry, _ = jax.lax.scan(body, x, stage_params)
+        return carry
 
-    out = pipeline_apply(stage_fn, stages, xt, mesh, axis=axis)
-    return jax.tree.map(lambda a: a.reshape((b,) + a.shape[2:]), out["b"])
+    out = pipeline_apply(
+        stage_fn, stages, jax.tree.map(mb_split, batched), mesh,
+        axis=axis, static=static, batch_axis=batch_axis,
+    )
+    return jax.tree.map(lambda a: a.reshape((b,) + a.shape[2:]), out)
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, Any], Any],
+    stage_fn: Callable[..., Any],
     stage_params,
     microbatches,
     mesh: Mesh,
     axis: str = "pipe",
+    static: Any = _NO_STATIC,
+    batch_axis: str = "data",
 ):
     """Run ``microbatches`` through ``num_stages`` pipeline stages.
 
-    - ``stage_fn(params_stage, x) -> x``: applies ONE stage's layers
+    - ``stage_fn(params_stage, x)`` — or ``stage_fn(params_stage, x,
+      static)`` when ``static`` is given — applies ONE stage's layers
       (params have leading axis L/P — typically a ``lax.scan`` over them).
-      ``x`` may be any pytree (activations + per-microbatch aux like rope
-      tables or adaLN inputs, passed through unchanged); the output must
-      have the same structure and shapes.
+      ``x`` may be any pytree (activations + per-microbatch conditioning,
+      passed through unchanged); the output must have the same structure
+      and shapes. ``static`` is batch-independent aux handed to every
+      stage call without entering the ring rotation.
     - ``stage_params``: pytree with leading axis P = mesh.shape[axis]
       (see ``stack_pipeline_stages``).
-    - ``microbatches``: pytree with leading axis M (microbatch count),
-      replicated over the pipe axis.
+    - ``microbatches``: pytree with leading axis M (microbatch count).
+      When the mesh has ``batch_axis``, every leaf's second dim (the
+      per-microbatch batch) shards over it — pipe x data compose.
 
-    Returns the pytree of outputs with leading axis M, replicated over
-    ``axis``. Differentiable in ``stage_params`` and ``microbatches``.
+    Returns the pytree of outputs with leading axis M. Differentiable in
+    ``stage_params``, ``microbatches`` and ``static``.
     """
     num_stages = mesh.shape[axis]
     leaves = jax.tree.leaves(microbatches)
@@ -146,21 +165,30 @@ def pipeline_apply(
     num_mb = leaves[0].shape[0]
     assert all(l.shape[0] == num_mb for l in leaves), "ragged microbatch axis"
     ticks = num_mb + num_stages - 1
+    has_static = static is not _NO_STATIC
 
     rep = PartitionSpec()  # replicated over every mesh axis
+    mb_spec = (
+        PartitionSpec(None, batch_axis)
+        if mesh.shape.get(batch_axis, 1) > 1
+        else rep
+    )
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(PartitionSpec(axis), rep),
-        out_specs=rep,
+        in_specs=(PartitionSpec(axis), mb_spec, rep),
+        out_specs=mb_spec,
         check_rep=False,
     )
-    def run(params, xs):
+    def run(params, xs, st):
         # local stage slice: leading pipe axis is 1 on-device
         params = jax.tree.map(lambda a: a[0], params)
         stage = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+
+        def apply_stage(inp):
+            return stage_fn(params, inp, st) if has_static else stage_fn(params, inp)
 
         def tick(carry, t):
             state, outs = carry
@@ -173,7 +201,7 @@ def pipeline_apply(
             inp = jax.tree.map(
                 lambda i, s: jnp.where(stage == 0, i, s), inject, state
             )
-            out = stage_fn(params, inp)
+            out = apply_stage(inp)
             # the LAST stage finishes microbatch t - (P-1) at this tick
             mb = t - (num_stages - 1)
             mb_c = jnp.clip(mb, 0, num_mb - 1)
@@ -204,4 +232,6 @@ def pipeline_apply(
             outs,
         )
 
-    return run(stage_params, microbatches)
+    if not has_static:
+        static = None  # placeholder arg; never read by apply_stage
+    return run(stage_params, microbatches, static)

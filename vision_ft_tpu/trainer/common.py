@@ -249,6 +249,14 @@ class Trainer:
                     "has no set_pipeline (GPipe support: Lumina2 / AuraFlow "
                     "/ Flux / CogView4 / Wan)"
                 )
+            if mesh_cfg.pipeline_microbatches < 2:
+                self.print(
+                    "WARNING: trainer.mesh.pipe > 1 with "
+                    "pipeline_microbatches=1 serializes the pipeline "
+                    f"(bubble fraction {(mesh_cfg.pipe - 1) / mesh_cfg.pipe:.0%}"
+                    " — every stage waits on the previous one); set "
+                    "pipeline_microbatches >= pipe for real overlap"
+                )
             dn.set_pipeline(self.mesh, mesh_cfg.pipeline_microbatches)
         trainable, frozen = self.split_trainable()
         n_train = sum(int(x.size) for x in jax.tree.leaves(trainable))
@@ -287,8 +295,14 @@ class Trainer:
 
         self.trainable, self.frozen = self.split_trainable()
         self.opt_state = self.optimizer.init(self.trainable)
+        # fp32 accumulator: at decay 0.999+ the (1-d)*x increment rounds
+        # to zero in bf16 and the EMA would freeze at its initial value.
+        # Must COPY (asarray aliases same-dtype leaves, which the donated
+        # apply step would delete from under the EMA tree).
         self.ema_params = (
-            jax.tree.map(jnp.copy, self.trainable)
+            jax.tree.map(
+                lambda x: jnp.array(x, jnp.float32, copy=True), self.trainable
+            )
             if self.config.trainer.ema_decay is not None
             else None
         )
@@ -319,7 +333,7 @@ class Trainer:
         if decay is not None:
             self._ema_fn = jax.jit(
                 lambda ema, p: jax.tree.map(
-                    lambda e, x: e * decay + x.astype(e.dtype) * (1.0 - decay),
+                    lambda e, x: e * decay + x.astype(jnp.float32) * (1.0 - decay),
                     ema, p,
                 ),
                 donate_argnums=(0,),
@@ -376,7 +390,12 @@ class Trainer:
             )
             if restored is not None:
                 if self.ema_params is not None:
-                    step0, self.trainable, self.opt_state, self.ema_params = restored
+                    step0, self.trainable, self.opt_state, ema = restored
+                    # pre-EMA checkpoints seed from the (possibly bf16)
+                    # trainable; keep the accumulator fp32 either way
+                    self.ema_params = jax.tree.map(
+                        lambda x: jnp.array(x, jnp.float32, copy=True), ema
+                    )
                 else:
                     step0, self.trainable, self.opt_state = restored
                 current_step = step0
@@ -417,9 +436,15 @@ class Trainer:
                     )
                     grads_acc = None
                     if self.ema_params is not None:
-                        self.ema_params = self._ema_fn(
-                            self.ema_params, self.trainable
-                        )
+                        # schedule-free optimizers evaluate at the x/y
+                        # interpolation, not the raw z iterate — average
+                        # the eval point
+                        target = self.trainable
+                        if is_schedule_free(self.optimizer_name):
+                            target = eval_params(
+                                self.optimizer_name, self.opt_state, target
+                            )
+                        self.ema_params = self._ema_fn(self.ema_params, target)
 
                 loss_value = float(loss)
                 self.model.log("train/loss", loss_value, on_step=True, on_epoch=True)
@@ -464,7 +489,10 @@ class Trainer:
         the EMA weights are what gets saved/previewed."""
         trainable = self.trainable
         if self.ema_params is not None:
-            trainable = self.ema_params
+            # fp32 accumulator -> the model's param dtypes
+            trainable = jax.tree.map(
+                lambda e, x: e.astype(x.dtype), self.ema_params, self.trainable
+            )
         elif is_schedule_free(self.optimizer_name):
             trainable = eval_params(self.optimizer_name, self.opt_state, trainable)
         self.model.set_params(merge_params(self.frozen, trainable))

@@ -74,7 +74,17 @@ def restore_train_state(
                 path, item={**target, "ema": ema_like}
             )
             ema = restored["ema"]
-        except Exception:  # checkpoint predates EMA: seed it from trainable
+        except Exception as e:  # checkpoint predates EMA (or its ema
+            # subtree is unreadable): seed from the trainable — loudly,
+            # since this replaces the running average with the
+            # instantaneous weights
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "restore_train_state: no restorable 'ema' subtree in %s "
+                "(%s: %s) — seeding EMA from the restored trainable params",
+                path, type(e).__name__, e,
+            )
             restored = _checkpointer().restore(path, item=target)
             ema = restored["trainable"]
         return (
