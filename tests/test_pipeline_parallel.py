@@ -305,6 +305,39 @@ def test_flux_denoiser_set_pipeline_partial_stacks():
     assert dn._pipeline is None
 
 
+def test_run_pipelined_stack_shards_batch_over_data():
+    """On a data x pipe mesh the per-microbatch batch dim shards over
+    data (no replicated compute), static aux stays out of the ring, and
+    numerics match the sequential stack."""
+    from vision_ft_tpu.parallel import MeshConfig, make_mesh, run_pipelined_stack
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(MeshConfig(data=4, pipe=2), devices=jax.devices()[:8])
+    dim, depth = 16, 4
+    layers = _mlp_layer_params(jax.random.PRNGKey(0), dim, depth)
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 6, dim))
+    pe = jnp.linspace(0.0, 1.0, 6 * dim).reshape(6, dim)
+
+    def layer_fn(lp, c, static):
+        return {"h": c["h"] + jnp.tanh(c["h"] @ lp["w"] + lp["b"] + static)}
+
+    got = jax.jit(
+        lambda ls: run_pipelined_stack(
+            layer_fn, ls, {"h": x}, pe, mesh, num_microbatches=2
+        )["h"]
+    )(layers)
+    h = x
+    for lp in layers:
+        h = h + jnp.tanh(h @ lp["w"] + lp["b"] + pe)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(h), atol=1e-5, rtol=1e-5)
+
+    # microbatch size (8/4=2) not divisible by data axis (4) -> named error
+    with pytest.raises(AssertionError, match="data"):
+        run_pipelined_stack(layer_fn, layers, {"h": x}, pe, mesh,
+                            num_microbatches=4)
+
+
 def test_train_step_on_data_x_pipe_mesh():
     """Full jitted train step (value_and_grad + AdamW) over a
     data2 x pipe2 mesh with the Lumina2 denoiser pipelined: loss matches
