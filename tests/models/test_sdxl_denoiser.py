@@ -135,3 +135,52 @@ def test_gradient_checkpointing_same_output(torch_ref):
     jx.set_gradient_checkpointing(True)
     out_ckpt = jx(params, *args)
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_ckpt), atol=1e-6)
+
+
+def test_deepcache_forward():
+    """DeepCache (opt-in inference acceleration): the refresh branch
+    equals the plain forward bit-for-bit; the cached branch consumes the
+    returned deep feature, produces the right shape, and equals the full
+    forward when the deep feature is fresh for the same input."""
+    import numpy as _np
+
+    config = DenoiserConfig(**TINY)
+    dn = Denoiser(config)
+    params = dn.init(jax.random.key(0))
+    b, h, w = 2, 16, 16
+    rng = _np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((b, h, w, 4), _np.float32))
+    t = jnp.full((b,), 500.0)
+    ctx = jnp.asarray(rng.standard_normal((b, 7, TINY["context_dim"]), _np.float32))
+    pooled = jnp.asarray(rng.standard_normal((b, 1280), _np.float32))
+    size = jnp.full((b, 2), float(h * 8))
+    crop = jnp.zeros((b, 2))
+    args = (lat, t, ctx, pooled, size, size, crop)
+
+    plain = dn(params, *args)
+    # carry init: shape via eval_shape on the full branch
+    deep_shape = jax.eval_shape(
+        lambda: dn.deepcache_forward(
+            params, *args, cached_deep=None, refresh=jnp.array(True)
+        )[1]
+    )
+    zeros = jnp.zeros(deep_shape.shape, deep_shape.dtype)
+    out_full, deep = jax.jit(
+        lambda z: dn.deepcache_forward(
+            params, *args, cached_deep=z, refresh=jnp.array(True)
+        )
+    )(zeros)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(plain), atol=1e-5, rtol=1e-5)
+
+    out_cached, deep2 = jax.jit(
+        lambda d: dn.deepcache_forward(
+            params, *args, cached_deep=d, refresh=jnp.array(False)
+        )
+    )(deep)
+    # cached pass reuses the deep feature untouched
+    np.testing.assert_allclose(np.asarray(deep2), np.asarray(deep))
+    assert out_cached.shape == plain.shape
+    # a fresh deep feature for the SAME input makes the cached step exact
+    np.testing.assert_allclose(
+        np.asarray(out_cached), np.asarray(plain), atol=1e-5, rtol=1e-5
+    )

@@ -145,3 +145,22 @@ def test_checkpoint_round_trip(tmp_path):
     img1 = model.generate("hello world", **kwargs)[0]
     img2 = model2.generate("hello world", **kwargs)[0]
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_generate_deep_cache():
+    """DeepCache generate: interval=1 (refresh every step) is exact vs
+    the plain loop; interval=2 runs end to end at the same shape."""
+    model = tiny_model()
+    model.init_params(jax.random.key(0))
+    kwargs = dict(
+        negative_prompt="blurry", width=64, height=64,
+        num_inference_steps=4, cfg_scale=3.0, seed=7,
+    )
+    plain = model.generate("a photo of a cat", **kwargs)[0]
+    exact = model.generate("a photo of a cat", deep_cache_interval=1, **kwargs)[0]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(exact))
+
+    cached = model.generate("a photo of a cat", deep_cache_interval=2, **kwargs)[0]
+    assert cached.size == plain.size
+    # the cached steps really take the shallow path: outputs differ
+    assert np.any(np.asarray(cached) != np.asarray(plain))

@@ -607,34 +607,120 @@ class UNet(Module):
         cross_attention_kwargs.setdefault("time_embedding", time_embed)
 
         h = latents
+        h, skips = self._run_input_blocks(
+            params, h, context, global_cond, cross_attention_kwargs
+        )
+        h = self._run_middle(params, h, context, global_cond, cross_attention_kwargs)
+        h = self._run_output_blocks(
+            params, h, skips, context, global_cond, cross_attention_kwargs
+        )
+        return self._out_head(params, h)
+
+    # -- forward segments (shared by the plain forward and DeepCache) --------
+
+    def _run_input_blocks(self, params, h, context, global_cond, cakw, upto=None):
+        """Apply input blocks [0, upto); returns (h, skips)."""
         skips = []
         in_blocks = params["input_blocks"]["blocks"]
-        for i, layer_list in enumerate(self.input_lists):
+        for i, layer_list in enumerate(self.input_lists[:upto]):
             h = self._apply_layer_list(
-                layer_list, in_blocks[str(i)], h, context, global_cond, cross_attention_kwargs
+                layer_list, in_blocks[str(i)], h, context, global_cond, cakw
             )
             skips.append(h)
+        return h, skips
 
+    def _run_middle(self, params, h, context, global_cond, cakw):
         mid = params["middle_block"]["blocks"]
-        h = self._apply_layer_list(
+        return self._apply_layer_list(
             [(k, m) for k, m in self.middle_list],
             {str(j): mid[str(j)] for j in range(len(self.middle_list))},
-            h,
-            context,
-            global_cond,
-            cross_attention_kwargs,
+            h, context, global_cond, cakw,
         )
 
+    def _run_output_blocks(self, params, h, skips, context, global_cond, cakw,
+                           start=0, end=None):
+        """Apply output blocks [start, end), consuming ``skips`` LIFO."""
+        skips = list(skips)
         out_blocks = params["output_blocks"]["blocks"]
         for i, layer_list in enumerate(self.output_lists):
+            if i < start or (end is not None and i >= end):
+                continue
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = self._apply_layer_list(
-                layer_list, out_blocks[str(i)], h, context, global_cond, cross_attention_kwargs
+                layer_list, out_blocks[str(i)], h, context, global_cond, cakw
             )
+        return h
 
+    def _out_head(self, params, h):
         h = self.out_norm(params["out"]["0"], h)
         h = jax.nn.silu(h)
         return self.out_conv(params["out"]["2"], h)
+
+    def deepcache_forward(
+        self,
+        params,
+        latents: jax.Array,
+        timestep: jax.Array,
+        encoder_hidden_states: jax.Array,
+        encoder_pooler_output: jax.Array,
+        original_size: jax.Array,
+        target_size: jax.Array,
+        crop_coords_top_left: jax.Array,
+        cached_deep: jax.Array,
+        refresh: jax.Array,  # bool scalar: True = full pass, recompute cache
+        cache_depth: int = 3,
+        cross_attention_kwargs: dict = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """DeepCache inference step (Ma et al. 2023, arXiv:2312.00858 —
+        beyond the reference, which has no step caching): the deep UNet
+        features change slowly across adjacent denoise steps, so cached
+        steps run only the ``cache_depth`` shallowest input blocks and
+        output blocks, splicing in ``cached_deep`` (the feature entering
+        the shallow output suffix from the last full pass). Returns
+        (noise_pred, deep_feature). Shapes are static across steps, so a
+        ``lax.cond`` on ``refresh`` in the scanned denoise loop executes
+        only one branch per step at runtime."""
+        time_embed, global_cond = self.prepare_global_condition(
+            params, timestep, encoder_pooler_output, original_size,
+            target_size, crop_coords_top_left, latents.dtype,
+        )
+        context = encoder_hidden_states
+        cakw = dict(cross_attention_kwargs or {})
+        cakw.setdefault("time_embedding", time_embed)
+        n_out = len(self.output_lists)
+        assert 0 < cache_depth < n_out, (cache_depth, n_out)
+        start = n_out - cache_depth  # first shallow output block index
+
+        def full(_):
+            h, skips = self._run_input_blocks(
+                params, latents, context, global_cond, cakw
+            )
+            h = self._run_middle(params, h, context, global_cond, cakw)
+            # deep output blocks [0, start) consume the deep skips
+            h = self._run_output_blocks(
+                params, h, skips[cache_depth:], context, global_cond, cakw,
+                end=start,
+            )
+            deep = h
+            h = self._run_output_blocks(
+                params, h, skips[:cache_depth], context, global_cond, cakw,
+                start=start,
+            )
+            return self._out_head(params, h), deep
+
+        def cached(deep):
+            h, skips = self._run_input_blocks(
+                params, latents, context, global_cond, cakw, upto=cache_depth
+            )
+            h = self._run_output_blocks(
+                params, deep, skips, context, global_cond, cakw, start=start
+            )
+            return self._out_head(params, h), deep
+
+        if cached_deep is None:
+            # no carry yet (shape bootstrap / first step): full pass only
+            return full(None)
+        return jax.lax.cond(refresh, full, cached, cached_deep)
 
     def set_gradient_checkpointing(self, enabled: bool):
         self.gradient_checkpointing = enabled

@@ -216,11 +216,16 @@ class SDXLModel:
         cfg_scale,
         noise_seed,
         do_cfg: bool,
+        cached_deep=None,
+        refresh=None,
     ):
         """One Euler-ancestral CFG step — the jit unit. The ancestral
         fresh noise is drawn inside the jit from ``noise_seed`` (a device
         scalar; same incremental_seed_randn per-sample-seed values), so a
-        generate() issues one dispatch per step instead of three."""
+        generate() issues one dispatch per step instead of three.
+
+        With ``cached_deep``/``refresh`` set this is a DeepCache step
+        (denoiser.deepcache_forward): returns (latents, deep_feature)."""
         noise = tensor_utils._incremental_seed_randn_jit(
             noise_seed, latents.shape, jnp.float32
         )
@@ -229,16 +234,31 @@ class SDXLModel:
             latents.dtype
         )
         batch = model_input.shape[0]
-        noise_pred = self.denoiser(
-            params,
-            model_input,
-            jnp.broadcast_to(timestep, (batch,)),
-            embeddings,
-            pooled,
-            original_size,
-            target_size,
-            crop_coords,
-        )
+        deep_cache = cached_deep is not None
+        if deep_cache:
+            noise_pred, new_deep = self.denoiser.deepcache_forward(
+                params,
+                model_input,
+                jnp.broadcast_to(timestep, (batch,)),
+                embeddings,
+                pooled,
+                original_size,
+                target_size,
+                crop_coords,
+                cached_deep=cached_deep,
+                refresh=refresh,
+            )
+        else:
+            noise_pred = self.denoiser(
+                params,
+                model_input,
+                jnp.broadcast_to(timestep, (batch,)),
+                embeddings,
+                pooled,
+                original_size,
+                target_size,
+                crop_coords,
+            )
         if do_cfg:
             positive, negative = jnp.split(noise_pred, 2)
             noise_pred = negative + cfg_scale * (positive - negative)
@@ -249,7 +269,10 @@ class SDXLModel:
             next_sigma,
             noise,
         )
-        return new_latents.astype(latents.dtype)
+        new_latents = new_latents.astype(latents.dtype)
+        if deep_cache:
+            return new_latents, new_deep
+        return new_latents
 
     def _get_jit_step(self, do_cfg: bool):
         from ...nn.core import cached_jit
@@ -261,13 +284,49 @@ class SDXLModel:
     def _denoise_loop(
         self, params, latents, timesteps, sigmas, next_sigmas, seeds,
         embeddings, pooled, original_size, target_size, crop_coords,
-        cfg_scale, do_cfg: bool,
+        cfg_scale, do_cfg: bool, deep_cache_interval: Optional[int] = None,
     ):
         """The whole sampling loop as ONE device program (lax.scan over
         the per-step scalars). A 20-step generate is a single dispatch:
         through remote/tunneled runtimes each jitted call costs ~5 ms of
         RPC latency, so scanning on device recovers ~100 ms per generate
-        and is the XLA-idiomatic loop form anyway."""
+        and is the XLA-idiomatic loop form anyway.
+
+        ``deep_cache_interval=N`` enables DeepCache: a full UNet pass
+        every N steps, shallow-blocks-only passes (reusing the cached
+        deep feature) in between — only one cond branch executes per
+        step, so cached steps really skip the deep compute."""
+        if deep_cache_interval:
+            n = timesteps.shape[0]
+            refresh = (jnp.arange(n) % deep_cache_interval) == 0
+            batch = latents.shape[0] * (2 if do_cfg else 1)
+
+            def _deep_shape():
+                mi = jnp.zeros((batch,) + latents.shape[1:], latents.dtype)
+                return self.denoiser.deepcache_forward(
+                    params, mi, jnp.zeros((batch,)), embeddings, pooled,
+                    original_size, target_size, crop_coords,
+                    cached_deep=None, refresh=jnp.array(True),
+                )[1]
+
+            ds = jax.eval_shape(_deep_shape)
+            deep0 = jnp.zeros(ds.shape, ds.dtype)
+
+            def body(carry, per_step):
+                lat, deep = carry
+                t, sigma, next_sigma, seed, rf = per_step
+                lat, deep = self._denoise_step(
+                    params, lat, t, sigma, next_sigma, embeddings, pooled,
+                    original_size, target_size, crop_coords, cfg_scale, seed,
+                    do_cfg=do_cfg, cached_deep=deep, refresh=rf,
+                )
+                return (lat, deep), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, deep0),
+                (timesteps, sigmas, next_sigmas, seeds, refresh),
+            )
+            return latents
 
         def body(latents, per_step):
             t, sigma, next_sigma, seed = per_step
@@ -283,11 +342,13 @@ class SDXLModel:
         )
         return latents
 
-    def _get_jit_loop(self, do_cfg: bool):
+    def _get_jit_loop(self, do_cfg: bool, deep_cache_interval: Optional[int] = None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"loop_{do_cfg}", partial(self._denoise_loop, do_cfg=do_cfg)
+            self, f"loop_{do_cfg}_{deep_cache_interval}",
+            partial(self._denoise_loop, do_cfg=do_cfg,
+                    deep_cache_interval=deep_cache_interval),
         )
 
     # -- generate ------------------------------------------------------------
@@ -305,6 +366,7 @@ class SDXLModel:
         cfg_scale: float = 3.5,
         max_token_length: int = 75,
         seed: Optional[int] = None,
+        deep_cache_interval: Optional[int] = None,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         timesteps = self.scheduler.get_timesteps(num_inference_steps)
@@ -326,12 +388,14 @@ class SDXLModel:
             embeddings, pooled, batch_size, height, width,
             original_size, target_size, crop_coords_top_left,
             timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
+            deep_cache_interval=deep_cache_interval,
         )
 
     def _generate_core(
         self, embeddings, pooled, batch_size, height, width,
         original_size, target_size, crop_coords_top_left,
         timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
+        deep_cache_interval: Optional[int] = None,
     ) -> list[Image.Image]:
         """The denoise loop shared by the base model and the context-level
         adapters (PFG / style tokenizer), which only differ in how
@@ -349,7 +413,7 @@ class SDXLModel:
         target_size_t = sizes(target_size)
         crop_t = sizes(crop_coords_top_left)
 
-        loop = self._get_jit_loop(do_cfg)
+        loop = self._get_jit_loop(do_cfg, deep_cache_interval)
         noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         n = len(timesteps)
         latents = loop(
