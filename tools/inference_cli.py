@@ -105,15 +105,24 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 @click.option("--seed", type=int, default=42)
 @click.option("--save-path", type=str, default="output.webp")
 @click.option("--quant-type", type=str, default=None)
+@click.option("--deep-cache-interval", type=int, default=None,
+              help="SDXL only: full UNet pass every N steps, shallow "
+              "cached passes between (DeepCache)")
 def main(
     checkpoint_path, family, tokenizer_path, prompt, negative_prompt, width, height,
     batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
+    deep_cache_interval,
 ):
     tokenizer = _load_tokenizer(family, tokenizer_path)
     click.echo("Loading model...")
     model = _build_model(family, checkpoint_path, tokenizer, quant_type)
     click.echo(f"Prompt: {prompt}")
 
+    extra = {}
+    if deep_cache_interval is not None:
+        if family != "sdxl":
+            raise click.UsageError("--deep-cache-interval is SDXL-only")
+        extra["deep_cache_interval"] = deep_cache_interval
     prompts = [prompt] * batch_size
     images = model.generate(
         prompt=prompts,
@@ -123,6 +132,7 @@ def main(
         num_inference_steps=num_inference_steps,
         cfg_scale=cfg_scale,
         seed=seed,
+        **extra,
     )
     for i, image in enumerate(images):
         path = save_path if len(images) == 1 else save_path.replace(".", f"_{i}.", 1)
