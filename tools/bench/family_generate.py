@@ -45,10 +45,34 @@ class MockHFTokenizer:
         return {"input_ids": np.asarray(ids), "attention_mask": np.asarray(mask)}
 
 
-def bench(name: str):
+def bench(name: str, deep_cache: int | None = None):
     t_build = time.time()
     base = name[: -len("_nf4")] if name.endswith("_nf4") else name
-    if base == "auraflow":
+    if base == "sdxl":
+        from vision_ft_tpu.models.sdxl.pipeline import SDXLConfig, SDXLModel
+
+        class MockCLIPTokenizer:
+            bos_token_id = 0
+            eos_token_id = 49407
+            pad_token_id = 49407
+
+            def __call__(self, prompts, max_length=None, **kw):
+                rows = []
+                for p in prompts:
+                    ids = [3 + (hash(w) % 40000) for w in p.split()][: max_length - 2]
+                    row = [0, *ids, self.eos_token_id]
+                    row += [self.pad_token_id] * (max_length - len(row))
+                    rows.append(row)
+                return np.asarray(rows, np.int32)
+
+        model = SDXLModel(
+            SDXLConfig(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            tokenizer=MockCLIPTokenizer(),
+        )
+        kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+        if deep_cache:
+            kwargs["deep_cache_interval"] = deep_cache
+    elif base == "auraflow":
         from vision_ft_tpu.models.auraflow.config import AuraFlowConig
         from vision_ft_tpu.models.auraflow.pipeline import AuraFlowModel
 
@@ -138,9 +162,15 @@ def main():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for name in sys.argv[1:] or ["lumina2", "auraflow", "cogview4"]:
+    argv = sys.argv[1:]
+    deep_cache = None
+    if "--deep-cache" in argv:  # SDXL only: DeepCache interval
+        i = argv.index("--deep-cache")
+        deep_cache = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    for name in argv or ["lumina2", "auraflow", "cogview4"]:
         try:
-            bench(name)
+            bench(name, deep_cache=deep_cache)
         except Exception as e:  # OOM on 16 GB chips for the biggest families
             print(f'{{"family": "{name}", "error": "{type(e).__name__}: '
                   f'{str(e)[:120]}"}}', flush=True)
