@@ -60,10 +60,10 @@ class GenerationParams(BaseModel):
 
 
 class T2IModel:
-    def __init__(self, config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str]):
+    def __init__(self, config_path: str, peft_path: Optional[str],
+                 tokenizer_path: Optional[str], family: str = "auraflow",
+                 deep_cache_interval: Optional[int] = None):
         from vision_ft_tpu.config import TrainConfig
-        from vision_ft_tpu.models.auraflow import AuraFlowConig, AuraFlowModel
-        from vision_ft_tpu.models.auraflow.util import convert_from_original_key
 
         with open(config_path) as f:
             config = TrainConfig(**yaml.safe_load(f))
@@ -72,8 +72,29 @@ class T2IModel:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
-        model_config = AuraFlowConig.model_validate(config.model)
-        self.model = AuraFlowModel.from_original_checkpoint(model_config, tokenizer=tokenizer)
+        if family == "sdxl":
+            from vision_ft_tpu.models.sdxl.config import SDXLConfig
+            from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
+            from vision_ft_tpu.models.sdxl.util import convert_from_original_key
+
+            model_config = SDXLConfig.model_validate(config.model)
+            self.model = SDXLModel.from_checkpoint(model_config, tokenizer=tokenizer)
+        elif family == "auraflow":
+            from vision_ft_tpu.models.auraflow import AuraFlowConig, AuraFlowModel
+            from vision_ft_tpu.models.auraflow.util import convert_from_original_key
+
+            model_config = AuraFlowConig.model_validate(config.model)
+            self.model = AuraFlowModel.from_original_checkpoint(
+                model_config, tokenizer=tokenizer
+            )
+        else:
+            raise ValueError(f"unsupported server family: {family!r}")
+        if deep_cache_interval is not None and family != "sdxl":
+            raise ValueError("deep_cache_interval is SDXL-only")
+        self._extra = (
+            {"deep_cache_interval": deep_cache_interval}
+            if deep_cache_interval else {}
+        )
 
         if peft_path is not None:
             print(f"Loading PEFT weights from {peft_path}")
@@ -97,6 +118,7 @@ class T2IModel:
                 cfg_scale=head.cfg_scale,
                 width=head.width,
                 height=head.height,
+                **self._extra,
             )
 
 
@@ -226,15 +248,20 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--config_path", "-C", type=str, required=True)
 @click.option("--peft_path", type=str, default=None)
 @click.option("--tokenizer-path", type=str, default=None)
+@click.option("--family", type=click.Choice(["auraflow", "sdxl"]), default="auraflow")
+@click.option("--deep-cache-interval", type=int, default=None,
+              help="SDXL only: DeepCache full-pass interval")
 @click.option("--port", type=int, default=8123)
 @click.option("--max-batch", type=int, default=4)
 @click.option("--batch-window-ms", type=float, default=25.0)
 def main(
     config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str],
+    family: str, deep_cache_interval: Optional[int],
     port: int, max_batch: int, batch_window_ms: float,
 ):
     print("Loading model...")
-    model = T2IModel(config_path, peft_path, tokenizer_path)
+    model = T2IModel(config_path, peft_path, tokenizer_path, family=family,
+                     deep_cache_interval=deep_cache_interval)
     batcher = MicroBatcher(model, max_batch=max_batch, window_ms=batch_window_ms)
     print(f"Serving on :{port} (POST /predict, micro-batch <= {max_batch})")
     ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher)).serve_forever()
