@@ -118,10 +118,11 @@ if __name__ == "__main__":
 
     # The axon TPU tunnel can flap for minutes; don't lose the round's
     # number to a transient init failure. Retry the probe for up to
-    # BENCH_INIT_RETRIES minutes, then run (falls through to the CPU
-    # smoke path only if JAX itself picks cpu).
+    # BENCH_INIT_RETRIES minutes before giving up with an explicit
+    # failure record. BENCH_INIT_RETRIES=0 skips probing entirely and
+    # runs immediately (e.g. forced-CPU smoke runs).
     retries = int(os.environ.get("BENCH_INIT_RETRIES", "10"))
-    ready = False
+    ready = retries == 0
     for attempt in range(retries):
         if _backend_ready():
             ready = True

@@ -7,9 +7,11 @@ cd "$(dirname "$0")/../.."
 LOG="${1:-/tmp/round2_backlog.log}"
 run() {
   echo "=== $* ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"
-  timeout 2400 "$@" 2>&1 | tail -20 | tee -a "$LOG"
+  timeout "${RUN_TIMEOUT:-2400}" "$@" 2>&1 | tail -20 | tee -a "$LOG"
+  echo "--- exit ${PIPESTATUS[0]} ---" | tee -a "$LOG"
 }
-run python bench.py
+# headline first, with room for the init-retry loop + first compile
+RUN_TIMEOUT=4200 run env BENCH_INIT_RETRIES=5 python bench.py
 run python tools/bench/sdxl_train_step.py
 run python tools/bench/family_train_step.py lumina2
 run python tools/bench/family_train_step.py lumina2 --save-qkv

@@ -150,9 +150,11 @@ def bench(name: str, deep_cache: int | None = None):
     model.generate("a photo of a cat", seed=0, **kwargs)
     el = time.time() - t0
     steps = kwargs["num_inference_steps"]
+    dc = kwargs.get("deep_cache_interval")
+    tag = f', "deep_cache_interval": {dc}' if dc else ""
     print(
         f'{{"family": "{name}", "generate_1024px_{steps}steps_s": {el:.2f}, '
-        f'"steps_per_sec": {steps / el:.2f}}}',
+        f'"steps_per_sec": {steps / el:.2f}{tag}}}',
         flush=True,
     )
 
@@ -166,9 +168,15 @@ def main():
     deep_cache = None
     if "--deep-cache" in argv:  # SDXL only: DeepCache interval
         i = argv.index("--deep-cache")
-        deep_cache = int(argv[i + 1])
+        try:
+            deep_cache = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: --deep-cache <int> (SDXL only)")
         argv = argv[:i] + argv[i + 2:]
-    for name in argv or ["lumina2", "auraflow", "cogview4"]:
+    families = argv or ["lumina2", "auraflow", "cogview4"]
+    if deep_cache and any(f.split("_")[0] != "sdxl" for f in families):
+        sys.exit("--deep-cache applies to the sdxl family only")
+    for name in families:
         try:
             bench(name, deep_cache=deep_cache)
         except Exception as e:  # OOM on 16 GB chips for the biggest families

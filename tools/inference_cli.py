@@ -113,16 +113,16 @@ def main(
     batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
     deep_cache_interval,
 ):
+    extra = {}
+    if deep_cache_interval is not None:
+        if family != "sdxl":  # decidable before the checkpoint load
+            raise click.UsageError("--deep-cache-interval is SDXL-only")
+        extra["deep_cache_interval"] = deep_cache_interval
+
     tokenizer = _load_tokenizer(family, tokenizer_path)
     click.echo("Loading model...")
     model = _build_model(family, checkpoint_path, tokenizer, quant_type)
     click.echo(f"Prompt: {prompt}")
-
-    extra = {}
-    if deep_cache_interval is not None:
-        if family != "sdxl":
-            raise click.UsageError("--deep-cache-interval is SDXL-only")
-        extra["deep_cache_interval"] = deep_cache_interval
     prompts = [prompt] * batch_size
     images = model.generate(
         prompt=prompts,

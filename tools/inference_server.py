@@ -65,13 +65,25 @@ class T2IModel:
                  deep_cache_interval: Optional[int] = None):
         from vision_ft_tpu.config import TrainConfig
 
+        if deep_cache_interval is not None and family != "sdxl":
+            # decidable from flags alone — fail before the checkpoint load
+            raise ValueError("deep_cache_interval is SDXL-only")
         with open(config_path) as f:
             config = TrainConfig(**yaml.safe_load(f))
         tokenizer = None
         if tokenizer_path is not None:
-            from transformers import AutoTokenizer
+            if family == "sdxl":
+                # SDXL's TextEncoder speaks the native CLIP BPE protocol
+                # (padded id arrays), not HF BatchEncoding
+                from vision_ft_tpu.models.text_encoders.tokenizer import (
+                    CLIPTokenizer,
+                )
 
-            tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
+                tokenizer = CLIPTokenizer.from_pretrained_dir(tokenizer_path)
+            else:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(tokenizer_path)
         if family == "sdxl":
             from vision_ft_tpu.models.sdxl.config import SDXLConfig
             from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
@@ -89,8 +101,6 @@ class T2IModel:
             )
         else:
             raise ValueError(f"unsupported server family: {family!r}")
-        if deep_cache_interval is not None and family != "sdxl":
-            raise ValueError("deep_cache_interval is SDXL-only")
         self._extra = (
             {"deep_cache_interval": deep_cache_interval}
             if deep_cache_interval else {}
