@@ -164,3 +164,17 @@ def test_generate_deep_cache():
     assert cached.size == plain.size
     # the cached steps really take the shallow path: outputs differ
     assert np.any(np.asarray(cached) != np.asarray(plain))
+
+
+def test_generate_cfg_rescale():
+    """cfg_rescale=0 reproduces the plain CFG output; a nonzero rescale
+    changes it (std-matching blend per Lin et al. 2023)."""
+    model = tiny_model()
+    model.init_params(jax.random.key(0))
+    kwargs = dict(width=64, height=64, num_inference_steps=3,
+                  cfg_scale=5.0, seed=11)
+    plain = model.generate("a cat", **kwargs)[0]
+    zero = model.generate("a cat", cfg_rescale=0.0, **kwargs)[0]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(zero))
+    blended = model.generate("a cat", cfg_rescale=0.7, **kwargs)[0]
+    assert np.any(np.asarray(blended) != np.asarray(plain))

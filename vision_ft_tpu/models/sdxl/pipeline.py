@@ -214,6 +214,7 @@ class SDXLModel:
         target_size,
         crop_coords,
         cfg_scale,
+        cfg_rescale,
         noise_seed,
         do_cfg: bool,
         cached_deep=None,
@@ -262,6 +263,16 @@ class SDXLModel:
         if do_cfg:
             positive, negative = jnp.split(noise_pred, 2)
             noise_pred = negative + cfg_scale * (positive - negative)
+            # CFG rescale (Lin et al. 2023, arXiv:2305.08891 §3.4 —
+            # beyond the reference): re-match the guided prediction's
+            # per-sample std to the positive branch's, blending by
+            # cfg_rescale (0 = off). Counters the overexposure high
+            # guidance scales cause on zero-terminal-SNR models.
+            axes = tuple(range(1, noise_pred.ndim))
+            std_pos = jnp.std(positive, axis=axes, keepdims=True)
+            std_cfg = jnp.std(noise_pred, axis=axes, keepdims=True)
+            rescaled = noise_pred * (std_pos / jnp.maximum(std_cfg, 1e-6))
+            noise_pred = cfg_rescale * rescaled + (1.0 - cfg_rescale) * noise_pred
         new_latents = self.scheduler.ancestral_step(
             latents.astype(jnp.float32),
             noise_pred.astype(jnp.float32),
@@ -284,7 +295,8 @@ class SDXLModel:
     def _denoise_loop(
         self, params, latents, timesteps, sigmas, next_sigmas, seeds,
         embeddings, pooled, original_size, target_size, crop_coords,
-        cfg_scale, do_cfg: bool, deep_cache_interval: Optional[int] = None,
+        cfg_scale, cfg_rescale, do_cfg: bool,
+        deep_cache_interval: Optional[int] = None,
     ):
         """The whole sampling loop as ONE device program (lax.scan over
         the per-step scalars). A 20-step generate is a single dispatch:
@@ -317,7 +329,8 @@ class SDXLModel:
                 t, sigma, next_sigma, seed, rf = per_step
                 lat, deep = self._denoise_step(
                     params, lat, t, sigma, next_sigma, embeddings, pooled,
-                    original_size, target_size, crop_coords, cfg_scale, seed,
+                    original_size, target_size, crop_coords, cfg_scale,
+                    cfg_rescale, seed,
                     do_cfg=do_cfg, cached_deep=deep, refresh=rf,
                 )
                 return (lat, deep), None
@@ -332,7 +345,8 @@ class SDXLModel:
             t, sigma, next_sigma, seed = per_step
             new = self._denoise_step(
                 params, latents, t, sigma, next_sigma, embeddings, pooled,
-                original_size, target_size, crop_coords, cfg_scale, seed,
+                original_size, target_size, crop_coords, cfg_scale,
+                cfg_rescale, seed,
                 do_cfg=do_cfg,
             )
             return new, None
@@ -364,6 +378,7 @@ class SDXLModel:
         crop_coords_top_left: tuple[int, int] = (0, 0),
         num_inference_steps: int = 20,
         cfg_scale: float = 3.5,
+        cfg_rescale: float = 0.0,
         max_token_length: int = 75,
         seed: Optional[int] = None,
         deep_cache_interval: Optional[int] = None,
@@ -389,6 +404,7 @@ class SDXLModel:
             original_size, target_size, crop_coords_top_left,
             timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
             deep_cache_interval=deep_cache_interval,
+            cfg_rescale=cfg_rescale,
         )
 
     def _generate_core(
@@ -396,6 +412,7 @@ class SDXLModel:
         original_size, target_size, crop_coords_top_left,
         timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
         deep_cache_interval: Optional[int] = None,
+        cfg_rescale: float = 0.0,
     ) -> list[Image.Image]:
         """The denoise loop shared by the base model and the context-level
         adapters (PFG / style tokenizer), which only differ in how
@@ -432,6 +449,7 @@ class SDXLModel:
             target_size_t,
             crop_t,
             jnp.float32(cfg_scale),
+            jnp.float32(cfg_rescale),
         )
 
         return self.decode_image(latents, use_tiling=should_tile)
