@@ -108,16 +108,22 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 @click.option("--deep-cache-interval", type=int, default=None,
               help="SDXL only: full UNet pass every N steps, shallow "
               "cached passes between (DeepCache)")
+@click.option("--cfg-rescale", type=float, default=None,
+              help="SDXL only: std-matching CFG rescale blend in [0, 1]")
 def main(
     checkpoint_path, family, tokenizer_path, prompt, negative_prompt, width, height,
     batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
-    deep_cache_interval,
+    deep_cache_interval, cfg_rescale,
 ):
     extra = {}
     if deep_cache_interval is not None:
         if family != "sdxl":  # decidable before the checkpoint load
             raise click.UsageError("--deep-cache-interval is SDXL-only")
         extra["deep_cache_interval"] = deep_cache_interval
+    if cfg_rescale is not None:
+        if family != "sdxl":
+            raise click.UsageError("--cfg-rescale is SDXL-only")
+        extra["cfg_rescale"] = cfg_rescale
 
     tokenizer = _load_tokenizer(family, tokenizer_path)
     click.echo("Loading model...")

@@ -48,6 +48,7 @@ class GenerationParams(BaseModel):
     negative_prompt: str = DEFAULT_NEGATIVE
     inference_steps: int = 25
     cfg_scale: float = 6.5
+    cfg_rescale: float = 0.0  # SDXL only (std-matching CFG rescale)
     width: int = 768
     height: int = 1024
 
@@ -101,6 +102,7 @@ class T2IModel:
             )
         else:
             raise ValueError(f"unsupported server family: {family!r}")
+        self._family = family
         self._extra = (
             {"deep_cache_interval": deep_cache_interval}
             if deep_cache_interval else {}
@@ -121,6 +123,11 @@ class T2IModel:
         cfg); returns one image per request, in order."""
         with self._lock:  # one device program at a time per chip
             head = batch[0]
+            extra = dict(self._extra)
+            if head.cfg_rescale:
+                if self._family != "sdxl":
+                    raise ValueError("cfg_rescale is SDXL-only")
+                extra["cfg_rescale"] = head.cfg_rescale
             return self.model.generate(
                 prompt=[p.prompt for p in batch],
                 negative_prompt=[p.negative_prompt for p in batch],
@@ -128,14 +135,17 @@ class T2IModel:
                 cfg_scale=head.cfg_scale,
                 width=head.width,
                 height=head.height,
-                **self._extra,
+                **extra,
             )
 
 
 def batch_key(params: GenerationParams) -> tuple:
     """Requests are batchable iff everything that shapes the compiled
     program matches; prompts/negatives ride the batch dimension."""
-    return (params.width, params.height, params.inference_steps, params.cfg_scale)
+    return (
+        params.width, params.height, params.inference_steps,
+        params.cfg_scale, params.cfg_rescale,
+    )
 
 
 class _Pending:
