@@ -138,3 +138,24 @@ def test_http_round_trip_batches():
             assert e.code == 422
     finally:
         server.shutdown()
+
+
+def test_t2imodel_flag_validation(tmp_path):
+    """Family/deep-cache combos fail fast, before any checkpoint load."""
+    import pytest
+
+    from tools.inference_server import T2IModel
+
+    with pytest.raises(ValueError, match="SDXL-only"):
+        T2IModel("does-not-exist.yml", None, None,
+                 family="auraflow", deep_cache_interval=2)
+
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        "model: {checkpoint_path: ''}\n"
+        "dataset: {}\n"
+        "optimizer: {name: torch.optim.AdamW, args: {lr: 1.0e-4}}\n"
+        "seed: 0\nnum_train_epochs: 1\n"
+    )
+    with pytest.raises(ValueError, match="unsupported server family"):
+        T2IModel(str(cfg), None, None, family="flux")
