@@ -269,6 +269,59 @@ def test_wan_denoiser_set_pipeline_matches_sequential():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
+def test_wan_cogview4_pipelined_grads_match_sequential():
+    """Grad equality for the two families whose pipeline tests were
+    forward-only (Wan video DiT, CogView4)."""
+    from vision_ft_tpu.models.cogview4.config import DenoiserConfig as CogCfg
+    from vision_ft_tpu.models.cogview4.denoiser import Denoiser as CogDen
+    from vision_ft_tpu.models.wan.config import DenoiserConfig as WanCfg
+    from vision_ft_tpu.models.wan.denoiser import Denoiser as WanDen
+
+    mesh = _mesh(2)
+
+    wan = WanDen(WanCfg(
+        type="ti2v", in_channels=8, out_channels=8, hidden_dim=64,
+        ffn_dim=128, freq_dim=32, text_dim=24, num_heads=4, num_layers=2,
+        text_length=16, patch_size=(1, 2, 2),
+    ))
+    wp = wan.init(jax.random.PRNGKey(0))
+    wan_args = (
+        jax.random.normal(jax.random.PRNGKey(1), (2, 2, 4, 4, 8)),
+        jnp.array([500.0, 100.0]),
+        jax.random.normal(jax.random.PRNGKey(2), (2, 10, 24)),
+    )
+
+    cog = CogDen(CogCfg(
+        patch_size=2, in_channels=4, out_channels=4, num_layers=2,
+        attention_head_dim=16, num_attention_heads=4, text_embed_dim=40,
+        time_embed_dim=32, condition_dim=8, rope_axes_dim=[16, 16],
+        attention_backend="eager",
+    ))
+    cp = cog.init(jax.random.PRNGKey(0))
+    size = jnp.full((2, 2), 64.0)
+    cog_args = (
+        jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4)),
+        jax.random.normal(jax.random.PRNGKey(2), (2, 5, 40)),
+        jnp.array([100.0, 700.0]),
+        size, size, jnp.zeros((2, 2)),
+    )
+
+    for dn, params, args in ((wan, wp, wan_args), (cog, cp, cog_args)):
+        def loss(p):
+            return jnp.mean(jnp.square(dn(p, *args)))
+
+        try:
+            dn.set_pipeline(mesh, num_microbatches=2)
+            g_pp = jax.jit(jax.grad(loss))(params)
+        finally:
+            dn.set_pipeline(None, 1)
+        g_seq = jax.jit(jax.grad(loss))(params)
+        for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-5
+            )
+
+
 def test_flux_denoiser_set_pipeline_partial_stacks():
     """Flux: 1 double block (indivisible by pipe 2 — runs sequentially)
     + 2 single blocks (pipelined). The mixed mode must match the fully
