@@ -59,6 +59,13 @@ class GenerationParams(BaseModel):
             raise ValueError(f"{value} is not divisible by 64")
         return value
 
+    @field_validator("cfg_rescale")
+    @classmethod
+    def check_rescale_range(cls, value):
+        if not 0.0 <= value <= 1.0:
+            raise ValueError("cfg_rescale must be in [0, 1]")
+        return value
+
 
 class T2IModel:
     def __init__(self, config_path: str, peft_path: Optional[str],
