@@ -18,10 +18,12 @@ from vision_ft_tpu.models.sdxl.adapter.ip_adapter import (
 from vision_ft_tpu.models.sdxl.config import DenoiserConfig
 from vision_ft_tpu.models.text_encoders import CLIPTextConfig
 from vision_ft_tpu.modules.adapter.ip_adapter.projectors import (
+    ImageTextProjector,
     LinearImageProjector,
     MLPImageProjector,
     ResamplerProjector,
     detect_projector_type,
+    load_projector_from_state_dict,
 )
 from vision_ft_tpu.nn import flatten_params
 
@@ -177,3 +179,130 @@ def test_projector_shapes_and_detection():
     assert detect_projector_type(flat) == "resampler"
     cfg = ResamplerProjector.config_from_pretrained(flat, num_heads=4)
     assert cfg["depth"] == 2 and cfg["num_ip_tokens"] == 4
+
+    text_seq = jnp.ones((2, 7, 80))
+    image_text = ImageTextProjector(96, 80, 112, num_heads=4, num_blocks=2,
+                                    mlp_ratio=2.0, num_ip_tokens=4)
+    p = image_text.init(key)
+    assert image_text(p, feats_seq, text_seq).shape == (2, 4, 112)
+    flat = flatten_params(p)
+    assert detect_projector_type(flat) == "image_text"
+    cfg = ImageTextProjector.config_from_pretrained(flat, num_heads=4)
+    assert cfg == dict(image_dim=96, text_dim=80, hidden_dim=112, num_heads=4,
+                       num_blocks=2, mlp_ratio=2.0, num_ip_tokens=4)
+
+
+def test_load_projector_from_state_dict_all_types():
+    """detect -> build -> load for every projector type, so a detect/build
+    skew (round-2 image_text late-failure) breaks CI (reference
+    ip_adapter/__init__.py:216-246)."""
+    key = jax.random.PRNGKey(7)
+    cases = [
+        (LinearImageProjector(96, 112, 4), "linear", (jnp.ones((2, 96)),)),
+        (MLPImageProjector(96, 1.0, 112, 4), "mlp", (jnp.ones((2, 96)),)),
+        (ResamplerProjector(96, num_heads=4, cross_attention_dim=112,
+                            num_ip_tokens=4, depth=2),
+         "resampler", (jnp.ones((2, 16, 96)),)),
+        (ImageTextProjector(96, 80, 112, num_heads=4, num_blocks=2, num_ip_tokens=4),
+         "image_text", (jnp.ones((2, 16, 96)), jnp.ones((2, 7, 80)))),
+    ]
+    for module, expected_type, inputs in cases:
+        params = module.init(key)
+        flat = dict(flatten_params(params))
+        assert detect_projector_type(flat) == expected_type
+        loaded_module, loaded_params = load_projector_from_state_dict(flat, num_heads=4)
+        assert type(loaded_module) is type(module)
+        np.testing.assert_allclose(
+            np.asarray(loaded_module(loaded_params, *inputs)),
+            np.asarray(module(params, *inputs)),
+        )
+
+
+def test_image_text_projector_torch_parity():
+    """Golden parity vs the live torch reference module
+    (reference ip_adapter/image_text.py:282-440)."""
+    torch = pytest.importorskip("torch")
+    from reference_loader import import_reference
+
+    image_text = import_reference("src.modules.adapter.ip_adapter.image_text")
+    # the reference wrapper force-casts fp32 attention to bf16 for speed
+    # (src/modules/attention.py:106-118); bypass for a tight fp32 golden
+    image_text.scaled_dot_product_attention = (
+        lambda q, k, v, **kw: torch.nn.functional.scaled_dot_product_attention(q, k, v)
+    )
+    ref = image_text.ImageTextProjector(
+        image_dim=96, text_dim=80, hidden_dim=64, num_heads=4,
+        num_blocks=2, mlp_ratio=2.0, num_ip_tokens=4,
+    )
+    ref = ref.float().eval()
+    flat = {k: jnp.asarray(v.detach().float().numpy()) for k, v in ref.state_dict().items()}
+    module, params = load_projector_from_state_dict(flat, num_heads=4)
+    assert isinstance(module, ImageTextProjector)
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 16, 96)).astype(np.float32)
+    txt = rng.standard_normal((2, 7, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(img), torch.from_numpy(txt)).numpy()
+    out = np.asarray(module(params, jnp.asarray(img), jnp.asarray(txt)))
+    assert out.shape == ref_out.shape == (2, 4, 64)
+    np.testing.assert_allclose(out, ref_out, atol=3e-5, rtol=1e-4)
+
+
+def test_image_text_generate():
+    """e2e generate with the image_text projector: the prompt embeddings
+    flow into the projector alongside sequence image features."""
+    from PIL import Image
+
+    def seq_image_encoder(pixel_values):
+        arr = np.asarray(pixel_values, np.float32)
+        b = arr.shape[0]
+        flat = arr.reshape(b, -1)
+        rng = np.random.default_rng(0)
+        proj = rng.standard_normal((flat.shape[1], 16 * 96)).astype(np.float32) * 0.01
+        return (flat @ proj).reshape(b, 16, 96)
+
+    config = SDXLModelWithIPAdapterConfig(
+        checkpoint_path="unused",
+        dtype="float32",
+        denoiser=DenoiserConfig(
+            hidden_dim=32, num_head_channels=8, context_dim=112,
+            block_out_channels=[32, 64, 64], num_transformers_per_block=[1, 1, 1],
+        ),
+        adapter={
+            "variant": "original",
+            "projector_type": "image_text",
+            "projector_args": {"text_dim": 112, "num_heads": 4, "depth": 1},
+            "num_ip_tokens": 4,
+            "feature_dim": 96,
+            "image_size": 32,
+            "dtype": "float32",
+        },
+    )
+    model = SDXLModelWithIPAdapter(
+        config,
+        image_encoder=seq_image_encoder,
+        tokenizer=MockTokenizer(),
+        vae_config=AutoencoderKLConfig(
+            block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4
+        ),
+        text_encoder_config_1=CLIPTextConfig(
+            vocab_size=1000, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, hidden_act="quick_gelu",
+        ),
+        text_encoder_config_2=CLIPTextConfig(
+            vocab_size=1000, hidden_size=48, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, hidden_act="gelu",
+            projection_dim=1280,
+        ),
+    )
+    model.init_params(jax.random.PRNGKey(0))
+    model.init_adapter_params(jax.random.PRNGKey(1))
+    assert isinstance(model.image_proj, ImageTextProjector)
+
+    ref = Image.new("RGB", (40, 40), (40, 120, 200))
+    images = model.generate(
+        "a dog", reference_image=ref, width=32, height=32,
+        num_inference_steps=2, cfg_scale=2.0, seed=0,
+    )
+    assert len(images) == 1 and images[0].size == (32, 32)

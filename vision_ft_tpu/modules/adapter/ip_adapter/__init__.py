@@ -17,6 +17,7 @@ from pydantic import BaseModel
 from ...peft import PeftConfigUnion
 from ..util import Adapter, AdapterManager
 from .projectors import (
+    ImageTextProjector,
     LinearImageProjector,
     MLPImageProjector,
     ResamplerProjector,
@@ -113,6 +114,18 @@ class IPAdapterManager(AdapterManager):
                 normalization=args.get("normalization", "layernorm"),
                 qk_norm=args.get("qk_norm", False),
             )
+        if cfg.projector_type == "image_text":
+            # reference __init__.py:160-175: text_dim defaults to SDXL's
+            # context dim, hidden_dim is the cross-attention dim
+            return ImageTextProjector(
+                image_dim=cfg.feature_dim,
+                text_dim=args.get("text_dim", 2048),
+                hidden_dim=attention_dim,
+                num_heads=args.get("num_heads", 8),
+                num_blocks=args.get("depth", 4),
+                mlp_ratio=args.get("mlp_ratio", 4.0),
+                num_ip_tokens=cfg.num_ip_tokens,
+            )
         raise NotImplementedError(
             f"Projector type {cfg.projector_type} not implemented."
         )
@@ -126,6 +139,7 @@ __all__ = [
     "IPAdapterManager",
     "IP_ADAPTER_VARIANT",
     "PROJECTOR_TYPE",
+    "ImageTextProjector",
     "LinearImageProjector",
     "MLPImageProjector",
     "ResamplerProjector",
