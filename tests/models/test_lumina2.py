@@ -116,6 +116,48 @@ def test_forward_parity(cap_lens):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(got), atol=1e-5)
 
 
+def test_deepcache_forward():
+    """Delta-cached NextDiT forward: refresh pass is bit-identical to the
+    plain forward; a cached pass on the SAME inputs reconstructs it to
+    rounding; the cached program really skips the deep layers (a NaN
+    planted in a deep layer's params poisons refresh but not cached)."""
+    ours = Denoiser(DenoiserConfig(**TINY))
+    params = ours.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    latents = jnp.asarray(rng.standard_normal((2, 8, 8, 4), np.float32))
+    captions = jnp.asarray(rng.standard_normal((2, 6, TINY["caption_dim"]), np.float32))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    mask = jnp.ones((2, 6), bool)
+
+    plain, _, _ = ours(params, latents, captions, t, mask)
+    full, _, _, delta = ours.deepcache_forward(
+        params, latents, captions, t, mask, refresh=True
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+    cached, _, _, delta2 = ours.deepcache_forward(
+        params, latents, captions, t, mask, cached_delta=delta, refresh=False
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+    # poison the deepest main layer: refresh sees it, cached does not
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    deepest = str(len(ours.layers) - 1)
+    bad["layers"][deepest] = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), bad["layers"][deepest]
+    )
+    poisoned, _, _, _ = ours.deepcache_forward(
+        bad, latents, captions, t, mask, refresh=True
+    )
+    assert not np.isfinite(np.asarray(poisoned)).all()
+    clean, _, _, _ = ours.deepcache_forward(
+        bad, latents, captions, t, mask, cached_delta=delta, refresh=False
+    )
+    assert np.isfinite(np.asarray(clean)).all()
+
+
 def test_scheduler_matches_reference():
     ref_sched = import_reference("src.models.lumina2.scheduler").Scheduler()
     ours = Scheduler()
@@ -167,7 +209,7 @@ def test_gemma2_parity_vs_transformers():
     )
 
 
-def test_generate_end_to_end(tmp_path):
+def _tiny_pipeline():
     from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
     from vision_ft_tpu.models.lumina2.pipeline import Lumina2
     from vision_ft_tpu.models.text_encoders.gemma2 import Gemma2Config
@@ -195,7 +237,13 @@ def test_generate_end_to_end(tmp_path):
         block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4,
         use_quant_conv=False, scaling_factor=0.3611, shift_factor=0.1159,
     )
-    model = Lumina2(config, tokenizer=Tok(), vae_config=vae_cfg, text_encoder_config=text_cfg)
+    model = Lumina2(config, tokenizer=Tok(), vae_config=vae_cfg,
+                    text_encoder_config=text_cfg)
+    return model, Lumina2, Tok, vae_cfg, text_cfg
+
+
+def test_generate_end_to_end(tmp_path):
+    model, Lumina2, Tok, vae_cfg, text_cfg = _tiny_pipeline()
     model.init_params(jax.random.PRNGKey(0))
     images = model.generate(
         "a cat sitting", width=32, height=32, num_inference_steps=3,
@@ -226,3 +274,24 @@ def test_generate_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(images2[0], np.float32), np.asarray(images[0], np.float32), atol=1
     )
+
+
+def test_generate_deep_cache():
+    """Delta-cached generate: interval=1 (refresh every step) is exact vs
+    the plain loop; interval=2 runs end to end — including across the
+    CFG-truncation batch change, which must drop the delta cache."""
+    model, *_ = _tiny_pipeline()
+    model.init_params(jax.random.PRNGKey(0))
+    kwargs = dict(
+        width=32, height=32, num_inference_steps=4, cfg_scale=4.0,
+        renorm_cfg_scale=1.0, cfg_truncation_ratio=0.4,
+        max_token_length=8, seed=5,
+    )
+    plain = model.generate("a cat sitting", **kwargs)[0]
+    exact = model.generate("a cat sitting", deep_cache_interval=1, **kwargs)[0]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(exact))
+
+    cached = model.generate("a cat sitting", deep_cache_interval=2, **kwargs)[0]
+    assert cached.size == plain.size
+    # cached steps really take the shallow-only path: outputs differ
+    assert np.any(np.asarray(cached) != np.asarray(plain))

@@ -387,15 +387,12 @@ class NextDiT(Module):
 
     # -- forward -------------------------------------------------------------------
 
-    def __call__(
-        self,
-        params,
-        latents: jax.Array,  # (B, H, W, C) NHWC
-        caption_features: jax.Array,  # (B, L, caption_dim)
-        timestep: jax.Array,  # (B,)
-        caption_mask: jax.Array,  # (B, L) bool/int, right-padded
-        cached_caption_features: Optional[jax.Array] = None,
+    def _prepare_tokens(
+        self, params, latents, caption_features, timestep, caption_mask,
+        cached_caption_features,
     ):
+        """Steps 1-5 of the forward: embeddings, RoPE, refiners, joint
+        sequence assembly. Shared by ``__call__`` and ``deepcache_forward``."""
         b, height, width, _ = latents.shape
         p = self.patch_size
         hp, wp = height // p, width // p
@@ -441,6 +438,41 @@ class NextDiT(Module):
         #    (packed vs holey layouts are equivalent at valid positions)
         context = jnp.concatenate([caption_tokens, image_tokens], axis=1)
         joint_mask = jnp.concatenate([caption_mask, image_mask], axis=1)
+        return (context, joint_freqs, joint_mask, t_emb, caption_tokens,
+                caption_mask, cap_len, hp, wp)
+
+    def _run_main_layers(self, layer_params, context, joint_freqs, t_emb,
+                         joint_mask, start=0, end=None):
+        """Main layers [start, end) as a plain (unpipelined) stack."""
+        for i, layer in enumerate(self.layers):
+            if i < start or (end is not None and i >= end):
+                continue
+            fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
+            if self.gradient_checkpointing:
+                fn = remat_layer(fn)
+            context = fn(layer_params[str(i)], context)
+        return context
+
+    def _finish(self, params, context, t_emb, cap_len, hp, wp):
+        """Final layer + unpatchify (steps 7-8)."""
+        context = self.final_layer(params["final_layer"], context, t_emb)
+        image_out = context[:, cap_len:]
+        return unpatchify(image_out, hp, wp, self.patch_size, self.out_channels)
+
+    def __call__(
+        self,
+        params,
+        latents: jax.Array,  # (B, H, W, C) NHWC
+        caption_features: jax.Array,  # (B, L, caption_dim)
+        timestep: jax.Array,  # (B,)
+        caption_mask: jax.Array,  # (B, L) bool/int, right-padded
+        cached_caption_features: Optional[jax.Array] = None,
+    ):
+        (context, joint_freqs, joint_mask, t_emb, caption_tokens,
+         caption_mask, cap_len, hp, wp) = self._prepare_tokens(
+            params, latents, caption_features, timestep, caption_mask,
+            cached_caption_features,
+        )
 
         # 6. main layers (optionally GPipe-pipelined over a pipe mesh axis)
         if self._pipeline is not None:
@@ -448,19 +480,67 @@ class NextDiT(Module):
                 params["layers"], context, joint_freqs, t_emb, joint_mask
             )
         else:
-            for i, layer in enumerate(self.layers):
-                fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                context = fn(params["layers"][str(i)], context)
+            context = self._run_main_layers(
+                params["layers"], context, joint_freqs, t_emb, joint_mask
+            )
 
-        # 7. final layer + take image positions (static slice)
-        context = self.final_layer(params["final_layer"], context, t_emb)
-        image_out = context[:, cap_len:]
-
-        # 8. unpatchify
-        velocity = unpatchify(image_out, hp, wp, p, self.out_channels)
+        # 7-8. final layer + unpatchify
+        velocity = self._finish(params, context, t_emb, cap_len, hp, wp)
         return velocity, caption_mask, caption_tokens
+
+    def deepcache_forward(
+        self,
+        params,
+        latents: jax.Array,
+        caption_features: jax.Array,
+        timestep: jax.Array,
+        caption_mask: jax.Array,
+        cached_caption_features: Optional[jax.Array] = None,
+        cached_delta: Optional[jax.Array] = None,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
+    ):
+        """DeepCache-style step caching adapted to the uniform NextDiT stack
+        (the SDXL variant exploits U-Net skips; a DiT has none, so this is
+        delta caching a la Delta-DiT, arXiv:2401.05252 — beyond the
+        reference, which has no step caching for any family).
+
+        The main stack is residual, so split it at ``cache_depth``: a full
+        (``refresh=True``) step records ``delta = x_N - x_k``, the summed
+        residual contribution of the deep suffix layers [k, N). A cached
+        step runs only the shallow prefix [0, k) fresh and approximates
+        ``x_N = x_k + delta`` — deep features drift slowly across adjacent
+        denoise steps, shallow ones don't. Refiners, final layer and fresh
+        ``t_emb`` adaLN always run. ``refresh`` is a static Python bool
+        (the Lumina2 sampling loop is host-driven, unlike SDXL's scanned
+        loop): each variant compiles separately and the cached program
+        simply contains no deep layers. Returns
+        ``(velocity, caption_mask, caption_tokens, delta)``.
+        """
+        assert self._pipeline is None, "DeepCache is an inference-only path"
+        n = len(self.layers)
+        k = cache_depth if cache_depth is not None else max(1, n // 4)
+        assert 0 < k < n, (k, n)
+
+        (context, joint_freqs, joint_mask, t_emb, caption_tokens,
+         caption_mask, cap_len, hp, wp) = self._prepare_tokens(
+            params, latents, caption_features, timestep, caption_mask,
+            cached_caption_features,
+        )
+        x_k = self._run_main_layers(
+            params["layers"], context, joint_freqs, t_emb, joint_mask, end=k
+        )
+        if refresh:
+            x_n = self._run_main_layers(
+                params["layers"], x_k, joint_freqs, t_emb, joint_mask, start=k
+            )
+            delta = x_n - x_k
+        else:
+            assert cached_delta is not None
+            delta = cached_delta
+            x_n = x_k + delta.astype(x_k.dtype)
+        velocity = self._finish(params, x_n, t_emb, cap_len, hp, wp)
+        return velocity, caption_mask, caption_tokens, delta
 
 
 class Denoiser(NextDiT):

@@ -1,5 +1,6 @@
 """Lumina2 pipeline: checkpoint I/O + generate() with renorm CFG,
-CFG-truncation and refined-caption-feature caching.
+CFG-truncation, refined-caption-feature caching and optional DeepCache
+delta caching (``deep_cache_interval``; see NextDiT.deepcache_forward).
 
 Behavioral spec: /root/reference/src/models/lumina2/pipeline.py. TPU
 deltas: one latent resolution per generate() call (the reference's
@@ -141,20 +142,38 @@ class Lumina2:
         cached_features,
         cfg_scale,
         renorm_cfg_scale,
-        do_cfg: bool,
-        use_cache: bool,
+        cached_delta=None,
+        do_cfg: bool = False,
+        use_cache: bool = False,
+        deep_cache: bool = False,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
     ):
         batch = latents.shape[0]
         latents_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         t = jnp.broadcast_to(timestep, (latents_input.shape[0],))
-        velocity, _mask, refined = self.denoiser(
-            params,
-            latents_input,
-            caption_features,
-            t,
-            caption_mask,
-            cached_caption_features=cached_features if use_cache else None,
-        )
+        if deep_cache:
+            velocity, _mask, refined, delta = self.denoiser.deepcache_forward(
+                params,
+                latents_input,
+                caption_features,
+                t,
+                caption_mask,
+                cached_caption_features=cached_features if use_cache else None,
+                cached_delta=cached_delta,
+                refresh=refresh,
+                cache_depth=cache_depth,
+            )
+        else:
+            velocity, _mask, refined = self.denoiser(
+                params,
+                latents_input,
+                caption_features,
+                t,
+                caption_mask,
+                cached_caption_features=cached_features if use_cache else None,
+            )
+            delta = None
         if do_cfg:
             positive, negative = velocity[:batch], velocity[batch:]
             new_velocity = negative + cfg_scale * (positive - negative)
@@ -176,14 +195,20 @@ class Lumina2:
         new_latents = latents.astype(jnp.float32) + velocity.astype(jnp.float32) * (
             sigma - next_sigma
         )
+        if deep_cache:
+            return new_latents.astype(latents.dtype), refined, delta
         return new_latents.astype(latents.dtype), refined
 
-    def _get_jit_step(self, do_cfg: bool, use_cache: bool):
+    def _get_jit_step(self, do_cfg: bool, use_cache: bool,
+                      deep_cache: bool = False, refresh: bool = True,
+                      cache_depth: Optional[int] = None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"step_{do_cfg}_{use_cache}",
-            partial(self._denoise_step, do_cfg=do_cfg, use_cache=use_cache),
+            self, f"step_{do_cfg}_{use_cache}_{deep_cache}_{refresh}_{cache_depth}",
+            partial(self._denoise_step, do_cfg=do_cfg, use_cache=use_cache,
+                    deep_cache=deep_cache, refresh=refresh,
+                    cache_depth=cache_depth),
         )
 
     # -- generate --------------------------------------------------------------------------
@@ -201,6 +226,8 @@ class Lumina2:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         seed: Optional[int] = None,
         do_offloading: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_depth: Optional[int] = None,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         timesteps = self.scheduler.get_timesteps(num_inference_steps)
@@ -220,6 +247,7 @@ class Lumina2:
 
         cached_features = None
         cached_was_cfg = None
+        cached_delta = None
         for i, t in enumerate(timesteps):
             current_step_ratio = (i + 1) / num_inference_steps
             do_cfg_step = do_cfg and current_step_ratio > cfg_truncation_ratio
@@ -238,13 +266,13 @@ class Lumina2:
                 caption_features = encoder_output.positive_embeddings.astype(self.dtype)
                 caption_mask = encoder_output.positive_attention_mask
 
-            # drop the cache when the CFG batch size changes (reference :379-415)
+            # drop the caches when the CFG batch size changes (reference :379-415)
             if cached_was_cfg is not None and cached_was_cfg != do_cfg_step:
                 cached_features = None
+                cached_delta = None
             use_cache = cached_features is not None
 
-            step = self._get_jit_step(do_cfg_step, use_cache)
-            latents, refined = step(
+            step_args = (
                 self.params["denoiser"],
                 latents,
                 jnp.float32(t),
@@ -256,6 +284,18 @@ class Lumina2:
                 jnp.float32(cfg_scale),
                 jnp.float32(renorm_cfg_scale),
             )
+            if deep_cache_interval:
+                refresh = (i % deep_cache_interval == 0) or cached_delta is None
+                step = self._get_jit_step(
+                    do_cfg_step, use_cache, deep_cache=True, refresh=refresh,
+                    cache_depth=deep_cache_depth,
+                )
+                latents, refined, cached_delta = step(
+                    *step_args, None if refresh else cached_delta
+                )
+            else:
+                step = self._get_jit_step(do_cfg_step, use_cache)
+                latents, refined = step(*step_args)
             cached_features = refined
             cached_was_cfg = do_cfg_step
 
