@@ -159,3 +159,62 @@ def test_t2imodel_flag_validation(tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported server family"):
         T2IModel(str(cfg), None, None, family="flux")
+
+
+def test_family_only_generation_flags():
+    """Lumina2-only knobs are rejected for other families (and vice versa)
+    before any device work; batch_key separates them so mixed requests
+    never share a compiled program."""
+    import pytest
+
+    from tools.inference_server import T2IModel, batch_key
+
+    # renorm/trunc reach lumina2's generate; other families refuse them
+    sdxl_like = T2IModel.__new__(T2IModel)
+    sdxl_like._family = "sdxl"
+    sdxl_like._extra = {}
+    sdxl_like._lock = threading.Lock()
+    calls = {}
+
+    class _M:
+        def generate(self, **kw):
+            calls.update(kw)
+            return [None]
+
+    sdxl_like.model = _M()
+    with pytest.raises(ValueError, match="Lumina2-only"):
+        sdxl_like.generate_batch(
+            [GenerationParams(prompt="x", width=64, height=64, renorm_cfg=2.0)]
+        )
+    with pytest.raises(ValueError, match="Lumina2-only"):
+        sdxl_like.generate_batch(
+            [GenerationParams(prompt="x", width=64, height=64, cfg_trunc_ratio=0.25)]
+        )
+
+    lum = T2IModel.__new__(T2IModel)
+    lum._family = "lumina2"
+    lum._extra = {}
+    lum._lock = threading.Lock()
+    lum.model = _M()
+    with pytest.raises(ValueError, match="SDXL-only"):
+        lum.generate_batch(
+            [GenerationParams(prompt="x", width=64, height=64, cfg_rescale=0.5)]
+        )
+    lum.generate_batch(
+        [GenerationParams(prompt="x", width=64, height=64,
+                          renorm_cfg=1.5, cfg_trunc_ratio=0.25)]
+    )
+    assert calls["renorm_cfg_scale"] == 1.5
+    assert calls["cfg_truncation_ratio"] == 0.25
+
+    # compiled-program key includes the new knobs
+    a = GenerationParams(prompt="a", width=64, height=64, renorm_cfg=1.0)
+    b = GenerationParams(prompt="b", width=64, height=64, renorm_cfg=2.0)
+    c = GenerationParams(prompt="c", width=64, height=64, cfg_trunc_ratio=0.5)
+    assert batch_key(a) != batch_key(b) != batch_key(c)
+
+    # validation bounds
+    with pytest.raises(ValueError):
+        GenerationParams(prompt="x", width=64, height=64, renorm_cfg=-0.1)
+    with pytest.raises(ValueError):
+        GenerationParams(prompt="x", width=64, height=64, cfg_trunc_ratio=1.5)

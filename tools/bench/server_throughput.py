@@ -8,6 +8,7 @@ the REAL MicroBatcher with N submitter threads, vs the same N requests
 issued back-to-back.
 
 Usage: python tools/bench/server_throughput.py [--n 4] [--res 512] [--steps 4]
+           [--family sdxl|lumina2]
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    n, res, steps = 4, 512, 4
+    n, res, steps, family = 4, 512, 4, "sdxl"
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--n":
@@ -37,6 +38,8 @@ def main() -> None:
             res = int(argv[i + 1])
         elif a == "--steps":
             steps = int(argv[i + 1])
+        elif a == "--family":
+            family = argv[i + 1]
 
     cache_dir = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -71,8 +74,24 @@ def main() -> None:
 
             return R(input_ids=np.asarray(ids), attention_mask=np.ones((len(ids), n), np.int64))
 
-    config = SDXLConfig(checkpoint_path="/nonexistent.safetensors", dtype="bfloat16")
-    model = SDXLModel(config, tokenizer=_HashTok())
+    if family == "sdxl":
+        config = SDXLConfig(checkpoint_path="/nonexistent.safetensors", dtype="bfloat16")
+        model = SDXLModel(config, tokenizer=_HashTok())
+    elif family == "lumina2":
+        from vision_ft_tpu.models.lumina2.config import Lumina2Config
+        from vision_ft_tpu.models.lumina2.pipeline import Lumina2
+
+        class _HFTok(_HashTok):
+            """HF-call-compatible wrapper (ids+mask dict) for Gemma-2."""
+
+            bos_token_id, eos_token_id, pad_token_id = 1, 2, 0
+
+        model = Lumina2(
+            Lumina2Config(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            tokenizer=_HFTok(),
+        )
+    else:
+        sys.exit(f"unknown family {family} (sdxl | lumina2)")
     model.init_params(jax.random.PRNGKey(0), jnp.bfloat16)
 
     class _Server:
@@ -83,6 +102,11 @@ def main() -> None:
         def generate_batch(self, batch):
             with self._lock:
                 head = batch[0]
+                extra = (
+                    {"renorm_cfg_scale": head.renorm_cfg,
+                     "cfg_truncation_ratio": head.cfg_trunc_ratio}
+                    if family == "lumina2" else {}
+                )
                 return self.model.generate(
                     prompt=[p.prompt for p in batch],
                     negative_prompt=[p.negative_prompt for p in batch],
@@ -90,6 +114,7 @@ def main() -> None:
                     cfg_scale=head.cfg_scale,
                     width=head.width,
                     height=head.height,
+                    **extra,
                 )
 
     server = _Server(model)
@@ -128,7 +153,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"server_throughput_speedup_{n}x{res}px{steps}steps",
+                "metric": f"server_throughput_speedup_{family}_{n}x{res}px{steps}steps",
                 "value": round(serial / batched, 2),
                 "unit": "x_vs_serial",
                 "serial_s": round(serial, 2),

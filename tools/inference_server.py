@@ -4,7 +4,8 @@ The reference serves AuraFlow over LitServe; neither litserve nor fastapi
 is in this image, so the same surface is served with the stdlib http
 server: POST /predict with a JSON GenerationParams body returns image/webp
 bytes. Loads a TrainConfig YAML (model section) + optional LoRA
-safetensors, exactly like the reference (:42-59).
+safetensors, exactly like the reference (:42-59). Families: auraflow,
+sdxl (cfg_rescale, deep-cache), lumina2 (renorm_cfg, cfg_trunc_ratio).
 
 Unlike the reference's one-request-at-a-time LitServe setup, concurrent
 requests are MICRO-BATCHED: a collator thread groups compatible requests
@@ -49,6 +50,8 @@ class GenerationParams(BaseModel):
     inference_steps: int = 25
     cfg_scale: float = 6.5
     cfg_rescale: float = 0.0  # SDXL only (std-matching CFG rescale)
+    renorm_cfg: float = 1.0  # Lumina2 only (norm-matching renorm CFG)
+    cfg_trunc_ratio: float = 0.0  # Lumina2 only (skip CFG early in the schedule)
     width: int = 768
     height: int = 1024
 
@@ -59,11 +62,18 @@ class GenerationParams(BaseModel):
             raise ValueError(f"{value} is not divisible by 64")
         return value
 
-    @field_validator("cfg_rescale")
+    @field_validator("cfg_rescale", "cfg_trunc_ratio")
     @classmethod
-    def check_rescale_range(cls, value):
+    def check_unit_range(cls, value):
         if not 0.0 <= value <= 1.0:
-            raise ValueError("cfg_rescale must be in [0, 1]")
+            raise ValueError("cfg_rescale / cfg_trunc_ratio must be in [0, 1]")
+        return value
+
+    @field_validator("renorm_cfg")
+    @classmethod
+    def check_renorm_nonnegative(cls, value):
+        if value < 0.0:
+            raise ValueError("renorm_cfg must be >= 0 (0 disables)")
         return value
 
 
@@ -107,6 +117,12 @@ class T2IModel:
             self.model = AuraFlowModel.from_original_checkpoint(
                 model_config, tokenizer=tokenizer
             )
+        elif family == "lumina2":
+            from vision_ft_tpu.models.lumina2 import Lumina2, Lumina2Config
+            from vision_ft_tpu.models.lumina2.util import convert_from_original_key
+
+            model_config = Lumina2Config.model_validate(config.model)
+            self.model = Lumina2.from_checkpoint(model_config, tokenizer=tokenizer)
         else:
             raise ValueError(f"unsupported server family: {family!r}")
         self._family = family
@@ -135,6 +151,16 @@ class T2IModel:
                 if self._family != "sdxl":
                     raise ValueError("cfg_rescale is SDXL-only")
                 extra["cfg_rescale"] = head.cfg_rescale
+            if self._family == "lumina2":
+                # renorm CFG + CFG truncation (reference lumina2
+                # pipeline.py:287-307 / :379-415) ride through natively
+                extra["renorm_cfg_scale"] = head.renorm_cfg
+                extra["cfg_truncation_ratio"] = head.cfg_trunc_ratio
+            else:
+                if head.renorm_cfg != 1.0:
+                    raise ValueError("renorm_cfg is Lumina2-only")
+                if head.cfg_trunc_ratio != 0.0:
+                    raise ValueError("cfg_trunc_ratio is Lumina2-only")
             return self.model.generate(
                 prompt=[p.prompt for p in batch],
                 negative_prompt=[p.negative_prompt for p in batch],
@@ -152,6 +178,7 @@ def batch_key(params: GenerationParams) -> tuple:
     return (
         params.width, params.height, params.inference_steps,
         params.cfg_scale, params.cfg_rescale,
+        params.renorm_cfg, params.cfg_trunc_ratio,
     )
 
 
@@ -275,7 +302,8 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--config_path", "-C", type=str, required=True)
 @click.option("--peft_path", type=str, default=None)
 @click.option("--tokenizer-path", type=str, default=None)
-@click.option("--family", type=click.Choice(["auraflow", "sdxl"]), default="auraflow")
+@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2"]),
+              default="auraflow")
 @click.option("--deep-cache-interval", type=int, default=None,
               help="SDXL only: DeepCache full-pass interval")
 @click.option("--port", type=int, default=8123)
