@@ -112,42 +112,61 @@ def _backend_ready(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _emit_failure(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_unet_fwd_1024px_cfg_steps_per_sec",
+                "value": 0,
+                "unit": "steps/s",
+                "vs_baseline": 0,
+                "error": f"{reason} (last known on-chip: 10.48 steps/s, "
+                "BASELINE.md)",
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     import os
+    import signal
     import sys
 
+    # Guarantee ONE JSON line even if the tunnel wedges mid-compile or
+    # mid-run: the round-2 capture died rc=124 (driver timeout) with no
+    # record at all because the probe loop alone could take 30 min. A
+    # hard SIGALRM deadline converts any hang into an explicit failure
+    # record before the driver's budget runs out.
+    deadline = int(os.environ.get("BENCH_DEADLINE_S", "1200"))
+
+    def _on_alarm(signum, frame):
+        _emit_failure(f"bench exceeded {deadline}s deadline (wedged backend?)")
+        os._exit(0)
+
+    if deadline > 0:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(deadline)
+
     # The axon TPU tunnel can flap for minutes; don't lose the round's
-    # number to a transient init failure. Retry the probe for up to
-    # BENCH_INIT_RETRIES minutes before giving up with an explicit
-    # failure record. BENCH_INIT_RETRIES=0 skips probing entirely and
+    # number to a transient init failure — but keep the whole probe loop
+    # well inside the deadline. BENCH_INIT_RETRIES=0 skips probing and
     # runs immediately (e.g. forced-CPU smoke runs).
-    retries = int(os.environ.get("BENCH_INIT_RETRIES", "10"))
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "6"))
     ready = retries == 0
     for attempt in range(retries):
-        if _backend_ready():
+        if _backend_ready(timeout_s=60.0):
             ready = True
             break
         print(
             f"bench: backend not ready (attempt {attempt + 1}/{retries}); "
-            "retrying in 60s",
+            "retrying in 20s",
             file=sys.stderr,
         )
-        time.sleep(60)
+        time.sleep(20)
     if not ready:
         # don't hang the driver on a dead tunnel — emit an explicit,
         # unambiguous failure record instead of a number
-        print(
-            json.dumps(
-                {
-                    "metric": "sdxl_unet_fwd_1024px_cfg_steps_per_sec",
-                    "value": 0,
-                    "unit": "steps/s",
-                    "vs_baseline": 0,
-                    "error": "tpu backend unavailable after "
-                    f"{retries} init retries (last known: 10.48 steps/s, "
-                    "BASELINE.md)",
-                }
-            )
-        )
+        _emit_failure(f"tpu backend unavailable after {retries} init retries")
         sys.exit(0)
     main()
