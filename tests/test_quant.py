@@ -91,7 +91,7 @@ def test_prequantized_state_dict_load_and_forward():
     np.testing.assert_allclose(np.asarray(y_jit), np.asarray(y_q), atol=1e-6)
 
 
-@pytest.mark.parametrize("quant_type", ["fp8_e4m3fn", "bnb_int8", "quanto_int8", "quanto_int4", "ao_nf4", "bnb_fp4"])
+@pytest.mark.parametrize("quant_type", ["fp8_e4m3fn", "bnb_int8", "quanto_int8", "quanto_int4", "ao_nf4", "bnb_fp4", "int8_w8a8"])
 def test_quantize_params_forward(quant_type):
     rng = np.random.default_rng(3)
     model = ModuleDict({"fc": Linear(32, 16)})
@@ -133,6 +133,62 @@ def test_qlora_on_quantized_base():
 
     grads = jax.jit(jax.grad(loss))(trainable)
     assert jax.tree.all(jax.tree.map(lambda g: bool(jnp.all(jnp.isfinite(g))), grads))
+
+
+def test_int8_w8a8_compute_path():
+    """TPU W8A8: the Linear must run an s8 x s8 -> s32 dot (not dequant
+    into a bf16 matmul), stay accurate, and round-trip through the
+    offline quantizer + prequantized loader."""
+    rng = np.random.default_rng(11)
+    model = ModuleDict({"fc": Linear(64, 48)})
+    params = model.init(jax.random.PRNGKey(2))
+    qparams = quantize_params(params, "int8_w8a8", include_keys=["fc"])
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+
+    y_fp = model["fc"](params["fc"], x)
+    y_q = model["fc"](qparams["fc"], x)
+    rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.05, f"W8A8 rel err {rel}"
+
+    # the jaxpr really contains the int8 dot with int32 accumulation
+    jaxpr = str(jax.make_jaxpr(lambda p: model["fc"](p, x))(qparams["fc"]))
+    assert "preferred_element_type=int32" in jaxpr, jaxpr
+    assert "convert_element_type[new_dtype=int8" in jaxpr, jaxpr
+
+    # bf16 activations take the same path and stay close
+    y_bf16 = model["fc"](qparams["fc"], x.astype(jnp.bfloat16))
+    rel_bf = float(
+        jnp.abs(y_bf16.astype(jnp.float32) - y_fp).max()
+        / (jnp.abs(y_fp).max() + 1e-9)
+    )
+    assert y_bf16.dtype == jnp.bfloat16 and rel_bf < 0.05
+
+    # offline checkpoint quantize -> prequantized grouping -> same output
+    sd = {
+        "fc.weight": np.asarray(params["fc"]["weight"]),
+        "fc.bias": np.asarray(params["fc"]["bias"]),
+    }
+    qsd = quantize_state_dict(sd, "int8_w8a8", include_keys=["fc.weight"])
+    assert "fc.weight.w8a8" in qsd and "fc.weight" not in qsd
+    grouped = convert_prequantized_state_dict(qsd)
+    loaded = unflatten_params(grouped)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["fc"]["weight"]["data"]),
+        np.asarray(qparams["fc"]["weight"]["data"]),
+    )
+    y_loaded = model["fc"](loaded["fc"], x)
+    np.testing.assert_array_equal(np.asarray(y_loaded), np.asarray(y_q))
+
+    # detection + dequantize_weight fallback (used by state-dict export)
+    children = {k[len("fc.weight."):]: v for k, v in qsd.items()
+                if k.startswith("fc.weight.")}
+    assert get_quant_type_from_children_dict(children) == "int8_w8a8"
+    w_dq = dequantize_weight(qparams["fc"]["weight"], jnp.float32)
+    rel_w = float(
+        jnp.abs(w_dq - params["fc"]["weight"]).max()
+        / (jnp.abs(params["fc"]["weight"]).max() + 1e-9)
+    )
+    assert w_dq.shape == (48, 64) and rel_w < 0.01
 
 
 def test_fp4_differs_from_nf4():

@@ -47,7 +47,11 @@ class MockHFTokenizer:
 
 def bench(name: str, deep_cache: int | None = None):
     t_build = time.time()
-    base = name[: -len("_nf4")] if name.endswith("_nf4") else name
+    base = name
+    for suffix in ("_nf4", "_w8a8"):
+        if name.endswith(suffix):
+            base = name[: -len(suffix)]
+            break
     if base == "sdxl":
         from vision_ft_tpu.models.sdxl.pipeline import SDXLConfig, SDXLModel
 
@@ -142,6 +146,19 @@ def bench(name: str, deep_cache: int | None = None):
         }
     else:
         model.init_params(jax.random.PRNGKey(0))
+        if name.endswith("_w8a8"):
+            # W8A8 compute-in-int8 A/B (modules/quant int8_w8a8): quantize
+            # the denoiser's Linear weights in place; attention/ff matmuls
+            # then run s8 x s8 -> s32 on the MXU's 2x-rate int8 path.
+            from vision_ft_tpu.modules.quant import quantize_params
+
+            include = {
+                "sdxl": ["attn1", "attn2", ".ff."],
+                "lumina2": ["qkv", ".out", "w1", "w2", "w3"],
+            }[base]
+            model.params["denoiser"] = quantize_params(
+                model.params["denoiser"], "int8_w8a8", include_keys=include
+            )
     print(f"[{name}] init {time.time() - t_build:.0f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
