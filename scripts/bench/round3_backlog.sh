@@ -31,4 +31,7 @@ run python tools/bench/family_generate.py lumina2
 run python tools/bench/family_generate.py lumina2 --deep-cache 2
 run python tools/bench/family_generate.py lumina2 --deep-cache 3
 run python tools/bench/family_generate.py auraflow_nf4
+# W8A8 compute-in-int8 A/B (int8_w8a8 vs the bf16 rows above)
+run python tools/bench/family_generate.py sdxl_w8a8
+run python tools/bench/family_generate.py lumina2_w8a8
 echo "backlog done $(date -u)" | tee -a "$LOG"

@@ -110,7 +110,12 @@ def _stub_diffusers():
 def import_reference(module: str):
     """Import e.g. 'src.modules.timestep.embedding' from the reference tree."""
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # append, don't insert: the reference tree also has a `tests/`
+        # namespace-package portion, and putting it first makes
+        # `tests.models.*` cross-imports resolve into /root/reference
+        # instead of this repo (the reference's own modules are all under
+        # `src.*`, which only exists there, so appending is sufficient)
+        sys.path.append(REFERENCE_ROOT)
     _stub_diffusers()
     import importlib
 

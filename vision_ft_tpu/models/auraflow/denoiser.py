@@ -33,7 +33,7 @@ from ...modules.patch import patchify, unpatchify
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
 from ...nn.core import remat_layer, save_name
-from ...ops.attention import scaled_dot_product_attention
+from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
 
@@ -128,19 +128,22 @@ class SingleAttention(ModuleDict):
         b, s, _ = condition.shape
         h, d = self.n_heads, self.head_dim
 
+        # heads-packed: per-head qk-norm / RoPE run on a (B, S, H, D)
+        # VIEW (minor-dim reshape, no relayout); attention goes straight
+        # from the packed (B, S, H*D) projection output through the BSHD
+        # flash kernel on TPU — the (B,H,S,D) transposes never exist
         def heads(t):
-            return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)  # (B, H, S, D)
+            return t.reshape(b, s, h, d)
 
-        q = heads(self["w1q"](params["w1q"], condition))
-        k = heads(self["w1k"](params["w1k"], condition))
-        v = heads(self["w1v"](params["w1v"], condition))
-        q, k = _qk_norm(q), _qk_norm(k)
+        q = _qk_norm(heads(self["w1q"](params["w1q"], condition)))
+        k = _qk_norm(heads(self["w1k"](params["w1k"], condition)))
+        v = self["w1v"](params["w1v"], condition)
         if self.use_rope and rope_freqs is not None:
-            q, k = apply_rope_qk(q, k, rope_freqs)
-        attn = scaled_dot_product_attention(
-            q, k, v, scale=1 / self.head_dim**0.5, backend=self.backend
+            q, k = apply_rope_qk(q, k, rope_freqs[:, None])
+        attn = attention_heads_packed(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d), v, h,
+            scale=1 / self.head_dim**0.5, backend=self.backend,
         )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         return self["w1o"](params["w1o"], attn)
 
 
@@ -164,23 +167,30 @@ class DoubleAttention(ModuleDict):
         ls = latent.shape[1]
         h, d = self.n_heads, self.head_dim
 
+        # heads-packed (see SingleAttention): (B, S, H, D) views for the
+        # per-head qk-norm / RoPE, streams joined along the sequence axis,
+        # BSHD flash kernel on TPU — no (B,H,S,D) transposes
         def heads(t, s):
-            return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+            return t.reshape(b, s, h, d)
 
         cq = _qk_norm(heads(self["w1q"](params["w1q"], condition), cs))
         ck = _qk_norm(heads(self["w1k"](params["w1k"], condition), cs))
-        cv = heads(self["w1v"](params["w1v"], condition), cs)
         lq = _qk_norm(heads(self["w2q"](params["w2q"], latent), ls))
         lk = _qk_norm(heads(self["w2k"](params["w2k"], latent), ls))
-        lv = heads(self["w2v"](params["w2v"], latent), ls)
 
-        q = jnp.concatenate([cq, lq], axis=2)
-        k = jnp.concatenate([ck, lk], axis=2)
-        v = jnp.concatenate([cv, lv], axis=2)
+        q = jnp.concatenate([cq, lq], axis=1)
+        k = jnp.concatenate([ck, lk], axis=1)
+        v = jnp.concatenate(
+            [self["w1v"](params["w1v"], condition),
+             self["w2v"](params["w2v"], latent)], axis=1,
+        )
         if self.use_rope and rope_freqs is not None:
-            q, k = apply_rope_qk(q, k, rope_freqs)
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, cs + ls, h * d)
+            q, k = apply_rope_qk(q, k, rope_freqs[:, None])
+        s = cs + ls
+        attn = attention_heads_packed(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d), v, h,
+            backend=self.backend,
+        )
         condition_out, latent_out = attn[:, :cs], attn[:, cs:]
         return (
             self["w1o"](params["w1o"], condition_out),

@@ -21,7 +21,7 @@ from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
 from ...nn.core import remat_layer, save_name
-from ...ops.attention import scaled_dot_product_attention
+from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
 DENOISER_TENSOR_PREFIX = "model.diffusion_model."
@@ -84,12 +84,14 @@ class QKNorm(ModuleDict):
 
 
 def _split_heads(qkv: jax.Array, num_heads: int):
-    """(B, L, 3*H*D) -> three (B, H, L, D), K-major like the reference's
-    einops "B L (K H D) -> K B H L D"."""
+    """(B, L, 3*H*D) -> three (B, L, H, D) VIEWS, K-major like the
+    reference's einops "B L (K H D) -> K B H L D" but heads-packed: the
+    per-head qk-norm / RoPE run on the (B, L, H, D) reshape and attention
+    goes straight through the BSHD flash kernel — the (B, H, L, D)
+    transposes never exist."""
     b, s, _ = qkv.shape
     qkv = qkv.reshape(b, s, 3, num_heads, -1)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)
-    return qkv[0], qkv[1], qkv[2]
+    return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
 class SelfAttention(ModuleDict):
@@ -160,13 +162,15 @@ class DoubleStreamBlock(ModuleDict):
         tq, tk, tv = _split_heads(txt_qkv, self.num_heads)
         tq, tk = self["txt_attn"]["norm"](params["txt_attn"]["norm"], tq, tk)
 
-        q = jnp.concatenate([tq, iq], axis=2)
-        k = jnp.concatenate([tk, ik], axis=2)
-        v = jnp.concatenate([tv, iv], axis=2)
-        q, k = apply_rope_qk(q, k, pe)
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        b, h, s, d = attn.shape
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        q, k = apply_rope_qk(q, k, pe[:, None])
+        b, s, h, d = q.shape
+        attn = attention_heads_packed(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+            v.reshape(b, s, h * d), h, backend=self.backend,
+        )
         txt_len = txt.shape[1]
         txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
 
@@ -207,10 +211,12 @@ class SingleStreamBlock(ModuleDict):
         qkv, mlp = jnp.split(h, [3 * self.hidden_size], axis=-1)
         q, k, v = _split_heads(qkv, self.num_heads)
         q, k = self["norm"](params["norm"], q, k)
-        q, k = apply_rope_qk(q, k, pe)
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        b, hh, s, d = attn.shape
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, hh * d)
+        q, k = apply_rope_qk(q, k, pe[:, None])
+        b, s, hh, d = q.shape
+        attn = attention_heads_packed(
+            q.reshape(b, s, hh * d), k.reshape(b, s, hh * d),
+            v.reshape(b, s, hh * d), hh, backend=self.backend,
+        )
         output = self["linear2"](
             params["linear2"],
             save_name(

@@ -48,7 +48,7 @@ import numpy as np
 
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
 from ...nn.core import remat_layer, save_name
-from ...ops.flash_attention import flash_attention
+from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
 
@@ -99,42 +99,43 @@ class WanAttention(ModuleDict):
             }
         )
 
-    def _heads(self, x: jax.Array) -> jax.Array:
-        b, s, _ = x.shape
-        # (B, S, D) -> (B, H, S, d)
-        return x.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
-
     def __call__(self, params, x, context=None, rope=None):
         context = x if context is None else context
         wdtype = params["q"]["weight"].dtype
         x = x.astype(wdtype)
         context = context.astype(wdtype)
 
+        # heads-packed: RoPE runs on a (B, S, H, d) VIEW (minor-dim
+        # reshape) and attention goes straight from the packed (B, S, H*d)
+        # projections through the BSHD flash kernel on TPU — the
+        # (B, H, S, d) transposes never exist
         q = self["norm_q"](params["norm_q"], self["q"](params["q"], x))
         k = self["norm_k"](params["norm_k"], self["k"](params["k"], context))
         v = self["v"](params["v"], context)
 
-        q, k, v = self._heads(q), self._heads(k), self._heads(v)
         if rope is not None:
             cos, sin = rope  # (S, c) fp32
-            q = _apply_rope(q, cos, sin).astype(wdtype)
-            k = _apply_rope(k, cos, sin).astype(wdtype)
+            q = _apply_rope(q, self.num_heads, cos, sin).astype(wdtype)
+            k = _apply_rope(k, self.num_heads, cos, sin).astype(wdtype)
 
-        out = flash_attention(q, k, v, scale=1.0 / math.sqrt(self.head_dim))
-        b, h, s, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        out = attention_heads_packed(
+            q, k, v, self.num_heads,
+            scale=1.0 / math.sqrt(self.head_dim), backend="flash",
+        )
         return self["o"](params["o"], out)
 
 
-def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+def _apply_rope(x: jax.Array, num_heads: int, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Interleaved-pair rotation in fp32 (reference rope_apply,
-    denoiser.py:65-104, complex multiply on (even, odd) pairs)."""
-    b, h, s, d = x.shape
-    xf = x.astype(jnp.float32).reshape(b, h, s, d // 2, 2)
+    denoiser.py:65-104, complex multiply on (even, odd) pairs) on the
+    heads-packed (B, S, H*d) layout."""
+    b, s, hd = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, num_heads, hd // num_heads // 2, 2)
     even, odd = xf[..., 0], xf[..., 1]
+    cos, sin = cos[:, None], sin[:, None]  # (S, 1, c) over (B, S, H, c)
     out_even = even * cos - odd * sin
     out_odd = even * sin + odd * cos
-    return jnp.stack([out_even, out_odd], axis=-1).reshape(b, h, s, d)
+    return jnp.stack([out_even, out_odd], axis=-1).reshape(b, s, hd)
 
 
 class WanBlock(ModuleDict):
