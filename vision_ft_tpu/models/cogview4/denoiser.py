@@ -20,7 +20,7 @@ from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.timestep.embedding import TimestepEmbedding, get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
 from ...nn.core import remat_layer, save_name
-from ...ops.attention import scaled_dot_product_attention
+from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
 DENOISER_TENSOR_PREFIX = "diffusion_model."
@@ -70,7 +70,7 @@ def _qk_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 def _apply_rotary_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """(reference apply_rotary_emb, denoiser.py:201-216): halves-rotation
-    with full-width cos/sin."""
+    with full-width cos/sin; x is heads-packed (B, S, H, D), cos/sin (S, D)."""
     x_real, x_imag = jnp.split(
         x.reshape(*x.shape[:-1], 2, -1), 2, axis=-2
     )
@@ -78,7 +78,8 @@ def _apply_rotary_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array) -> j
     x_imag = x_imag.squeeze(-2)
     x_rotated = jnp.concatenate([-x_imag, x_real], axis=-1)
     return (
-        x.astype(jnp.float32) * cos[None, None] + x_rotated.astype(jnp.float32) * sin[None, None]
+        x.astype(jnp.float32) * cos[None, :, None]
+        + x_rotated.astype(jnp.float32) * sin[None, :, None]
     ).astype(x.dtype)
 
 
@@ -104,7 +105,10 @@ class SelfAttention(ModuleDict):
         h, d = self.num_heads, self.head_dim
 
         def heads(t):
-            return t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+            # heads-packed (B, S, H, D): the (B, H, S, D) transposes never
+            # exist — qk-norm/RoPE run per-head in place and attention goes
+            # straight through the BSHD flash kernel.
+            return t.reshape(b, s, h, d)
 
         q = _qk_norm(heads(self["to_q"](params["to_q"], x)))
         k = _qk_norm(heads(self["to_k"](params["to_k"], x)))
@@ -113,16 +117,18 @@ class SelfAttention(ModuleDict):
         if rope_freqs is not None:
             cos, sin = rope_freqs
             q = jnp.concatenate(
-                [q[:, :, :text_len], _apply_rotary_interleaved(q[:, :, text_len:], cos, sin)],
-                axis=2,
+                [q[:, :text_len], _apply_rotary_interleaved(q[:, text_len:], cos, sin)],
+                axis=1,
             )
             k = jnp.concatenate(
-                [k[:, :, :text_len], _apply_rotary_interleaved(k[:, :, text_len:], cos, sin)],
-                axis=2,
+                [k[:, :text_len], _apply_rotary_interleaved(k[:, text_len:], cos, sin)],
+                axis=1,
             )
 
-        attn = scaled_dot_product_attention(q, k, v, backend=self.backend)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        attn = attention_heads_packed(
+            q.reshape(b, s, h * d), k.reshape(b, s, h * d),
+            v.reshape(b, s, h * d), h, backend=self.backend,
+        )
         attn = self["to_out"]["0"](params["to_out"]["0"], attn)
         return attn[:, text_len:], attn[:, :text_len]
 
