@@ -158,7 +158,7 @@ def test_t2imodel_flag_validation(tmp_path):
         "seed: 0\nnum_train_epochs: 1\n"
     )
     with pytest.raises(ValueError, match="unsupported server family"):
-        T2IModel(str(cfg), None, None, family="flux")
+        T2IModel(str(cfg), None, None, family="wan")  # video family: no image server
 
 
 def test_family_only_generation_flags():
@@ -207,11 +207,36 @@ def test_family_only_generation_flags():
     assert calls["renorm_cfg_scale"] == 1.5
     assert calls["cfg_truncation_ratio"] == 0.25
 
+    # distilled_guidance reaches flux's generate; other families refuse it
+    with pytest.raises(ValueError, match="Flux-only"):
+        sdxl_like.generate_batch(
+            [GenerationParams(prompt="x", width=64, height=64,
+                              distilled_guidance=3.5)]
+        )
+    flux_like = T2IModel.__new__(T2IModel)
+    flux_like._family = "flux"
+    flux_like._extra = {}
+    flux_like._lock = threading.Lock()
+    flux_calls = {}
+
+    class _F:
+        def generate(self, **kw):
+            flux_calls.update(kw)
+            return [None]
+
+    flux_like.model = _F()
+    flux_like.generate_batch(
+        [GenerationParams(prompt="x", width=64, height=64,
+                          distilled_guidance=3.5)]
+    )
+    assert flux_calls["distilled_guidance_scale"] == 3.5
+
     # compiled-program key includes the new knobs
     a = GenerationParams(prompt="a", width=64, height=64, renorm_cfg=1.0)
     b = GenerationParams(prompt="b", width=64, height=64, renorm_cfg=2.0)
     c = GenerationParams(prompt="c", width=64, height=64, cfg_trunc_ratio=0.5)
-    assert batch_key(a) != batch_key(b) != batch_key(c)
+    d = GenerationParams(prompt="d", width=64, height=64, distilled_guidance=3.5)
+    assert len({batch_key(p) for p in (a, b, c, d)}) == 4
 
     # validation bounds
     with pytest.raises(ValueError):

@@ -5,7 +5,8 @@ is in this image, so the same surface is served with the stdlib http
 server: POST /predict with a JSON GenerationParams body returns image/webp
 bytes. Loads a TrainConfig YAML (model section) + optional LoRA
 safetensors, exactly like the reference (:42-59). Families: auraflow,
-sdxl (cfg_rescale, deep-cache), lumina2 (renorm_cfg, cfg_trunc_ratio).
+sdxl (cfg_rescale, deep-cache), lumina2 (renorm_cfg, cfg_trunc_ratio),
+cogview4, flux (distilled_guidance).
 
 Unlike the reference's one-request-at-a-time LitServe setup, concurrent
 requests are MICRO-BATCHED: a collator thread groups compatible requests
@@ -52,6 +53,7 @@ class GenerationParams(BaseModel):
     cfg_rescale: float = 0.0  # SDXL only (std-matching CFG rescale)
     renorm_cfg: float = 1.0  # Lumina2 only (norm-matching renorm CFG)
     cfg_trunc_ratio: float = 0.0  # Lumina2 only (skip CFG early in the schedule)
+    distilled_guidance: float = 1.0  # Flux only (guidance-embedder scale)
     width: int = 768
     height: int = 1024
 
@@ -74,6 +76,13 @@ class GenerationParams(BaseModel):
     def check_renorm_nonnegative(cls, value):
         if value < 0.0:
             raise ValueError("renorm_cfg must be >= 0 (0 disables)")
+        return value
+
+    @field_validator("distilled_guidance")
+    @classmethod
+    def check_distilled_nonnegative(cls, value):
+        if value < 0.0:
+            raise ValueError("distilled_guidance must be >= 0")
         return value
 
 
@@ -123,6 +132,36 @@ class T2IModel:
 
             model_config = Lumina2Config.model_validate(config.model)
             self.model = Lumina2.from_checkpoint(model_config, tokenizer=tokenizer)
+        elif family == "cogview4":
+            from vision_ft_tpu.models.cogview4 import (
+                CogView4Model,
+                convert_from_original_key,
+            )
+            from vision_ft_tpu.models.cogview4.config import CogView4Config
+
+            model_config = CogView4Config.model_validate(config.model)
+            self.model = CogView4Model.from_checkpoint(model_config, tokenizer=tokenizer)
+        elif family == "flux":
+            from vision_ft_tpu.models.flux.config import FluxConfig
+            from vision_ft_tpu.models.flux.pipeline import FluxModel
+            from vision_ft_tpu.models.flux.util import convert_from_original_key
+
+            # tokenizer is the T5 one; a CLIP tokenizer loads from the same
+            # dir's clip/ subfolder when present (mirrors inference_cli)
+            clip_tok = None
+            base = getattr(tokenizer, "name_or_path", None)
+            if base and _os.path.isdir(_os.path.join(str(base), "clip")):
+                from vision_ft_tpu.models.text_encoders.tokenizer import (
+                    CLIPTokenizer,
+                )
+
+                clip_tok = CLIPTokenizer.from_pretrained_dir(
+                    _os.path.join(str(base), "clip")
+                )
+            model_config = FluxConfig.model_validate(config.model)
+            self.model = FluxModel.from_checkpoint(
+                model_config, t5_tokenizer=tokenizer, clip_tokenizer=clip_tok
+            )
         else:
             raise ValueError(f"unsupported server family: {family!r}")
         self._family = family
@@ -161,6 +200,10 @@ class T2IModel:
                     raise ValueError("renorm_cfg is Lumina2-only")
                 if head.cfg_trunc_ratio != 0.0:
                     raise ValueError("cfg_trunc_ratio is Lumina2-only")
+            if self._family == "flux":
+                extra["distilled_guidance_scale"] = head.distilled_guidance
+            elif head.distilled_guidance != 1.0:
+                raise ValueError("distilled_guidance is Flux-only")
             return self.model.generate(
                 prompt=[p.prompt for p in batch],
                 negative_prompt=[p.negative_prompt for p in batch],
@@ -179,6 +222,7 @@ def batch_key(params: GenerationParams) -> tuple:
         params.width, params.height, params.inference_steps,
         params.cfg_scale, params.cfg_rescale,
         params.renorm_cfg, params.cfg_trunc_ratio,
+        params.distilled_guidance,
     )
 
 
@@ -302,7 +346,8 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--config_path", "-C", type=str, required=True)
 @click.option("--peft_path", type=str, default=None)
 @click.option("--tokenizer-path", type=str, default=None)
-@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2"]),
+@click.option("--family",
+              type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]),
               default="auraflow")
 @click.option("--deep-cache-interval", type=int, default=None,
               help="SDXL only: DeepCache full-pass interval")
