@@ -34,4 +34,9 @@ run python tools/bench/family_generate.py auraflow_nf4
 # W8A8 compute-in-int8 A/B (int8_w8a8 vs the bf16 rows above)
 run python tools/bench/family_generate.py sdxl_w8a8
 run python tools/bench/family_generate.py lumina2_w8a8
+# heads-packed BSHD attention A/B vs the round-2 numbers (AuraFlow d=256,
+# CogView4 d=128 went transpose-free this round)
+run python tools/bench/family_generate.py auraflow
+run python tools/bench/family_generate.py cogview4
+run python tools/bench/family_generate.py auraflow_w8a8
 echo "backlog done $(date -u)" | tee -a "$LOG"
