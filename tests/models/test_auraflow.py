@@ -223,6 +223,19 @@ def test_generate_end_to_end(tmp_path):
     )
     assert len(images) == 1 and images[0].size == (32, 32)
 
+    # deep_cache_interval=1 refreshes every step -> bit-exact vs plain
+    images_dc = model.generate(
+        "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=1.5,
+        max_token_length=8, seed=42, deep_cache_interval=1,
+    )
+    np.testing.assert_array_equal(np.asarray(images_dc[0]), np.asarray(images[0]))
+    # interval 2 reuses the cached delta and still decodes a valid image
+    images_dc2 = model.generate(
+        "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=1.5,
+        max_token_length=8, seed=42, deep_cache_interval=2,
+    )
+    assert images_dc2[0].size == (32, 32)
+
     # checkpoint round trip through the original key layout
     sd = model.state_dict()
     assert any(k.startswith("model.") for k in sd)
@@ -251,3 +264,51 @@ def test_generate_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(images2[0], np.float32), np.asarray(images[0], np.float32), atol=1
     )
+
+
+def test_deepcache_forward():
+    """Delta-cached MMDiT forward: refresh pass is bit-identical to the
+    plain forward; a cached pass on the SAME inputs reconstructs it to
+    rounding; the cached program really skips the deep single layers (a
+    NaN planted in the deepest single layer's params poisons refresh but
+    not cached)."""
+    ours = Denoiser(DenoiserConfig(**TINY))
+    params = ours.init(jax.random.PRNGKey(1))
+    # final_linear/cond_seq_linear are zero-init (reference parity);
+    # randomize them so outputs actually depend on the stack
+    params["final_linear"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          params["final_linear"]["weight"].shape) * 0.05
+    )
+    params["cond_seq_linear"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(3),
+                          params["cond_seq_linear"]["weight"].shape) * 0.05
+    )
+    rng = np.random.default_rng(2)
+    latent = jnp.asarray(rng.standard_normal((2, 16, 16, 4), np.float32))
+    text = jnp.asarray(rng.standard_normal((2, 6, 48), np.float32))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+
+    plain = ours(params, latent, text, t)
+    full, delta = ours.deepcache_forward(params, latent, text, t, refresh=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+    cached, delta2 = ours.deepcache_forward(
+        params, latent, text, t, cached_delta=delta, refresh=False
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+    # poison the deepest single layer: refresh sees it, cached does not
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    deepest = str(len(ours.single_layers) - 1)
+    bad["single_layers"][deepest] = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), bad["single_layers"][deepest]
+    )
+    poisoned, _ = ours.deepcache_forward(bad, latent, text, t, refresh=True)
+    assert not np.isfinite(np.asarray(poisoned)).all()
+    clean, _ = ours.deepcache_forward(
+        bad, latent, text, t, cached_delta=delta, refresh=False
+    )
+    assert np.isfinite(np.asarray(clean)).all()

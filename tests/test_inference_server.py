@@ -146,9 +146,9 @@ def test_t2imodel_flag_validation(tmp_path):
 
     from tools.inference_server import T2IModel
 
-    with pytest.raises(ValueError, match="SDXL-only"):
+    with pytest.raises(ValueError, match="DeepCache family"):
         T2IModel("does-not-exist.yml", None, None,
-                 family="auraflow", deep_cache_interval=2)
+                 family="cogview4", deep_cache_interval=2)
 
     cfg = tmp_path / "c.yml"
     cfg.write_text(

@@ -85,6 +85,8 @@ def bench(name: str, deep_cache: int | None = None):
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+        if deep_cache:
+            kwargs["deep_cache_interval"] = deep_cache
     elif base == "lumina2":
         from vision_ft_tpu.models.lumina2.config import Lumina2Config
         from vision_ft_tpu.models.lumina2.pipeline import Lumina2
@@ -186,17 +188,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     argv = sys.argv[1:]
     deep_cache = None
-    if "--deep-cache" in argv:  # sdxl/lumina2: DeepCache interval
+    if "--deep-cache" in argv:  # sdxl/lumina2/auraflow: DeepCache interval
         i = argv.index("--deep-cache")
         try:
             deep_cache = int(argv[i + 1])
         except (IndexError, ValueError):
-            sys.exit("usage: --deep-cache <int> (sdxl/lumina2 only)")
+            sys.exit("usage: --deep-cache <int> (sdxl/lumina2/auraflow only)")
         argv = argv[:i] + argv[i + 2:]
     families = argv or ["lumina2", "auraflow", "cogview4"]
-    if deep_cache and any(f.split("_")[0] not in ("sdxl", "lumina2")
+    if deep_cache and any(f.split("_")[0] not in ("sdxl", "lumina2", "auraflow")
                           for f in families):
-        sys.exit("--deep-cache applies to the sdxl/lumina2 families only")
+        sys.exit("--deep-cache applies to sdxl/lumina2/auraflow only")
     for name in families:
         try:
             bench(name, deep_cache=deep_cache)

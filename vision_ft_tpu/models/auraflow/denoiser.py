@@ -451,15 +451,18 @@ class MMDiT(Module):
 
     # -- forward ----------------------------------------------------------------
 
-    def __call__(
+    def _prepare_tokens(
         self,
         params,
-        latent: jax.Array,  # (B, H, W, C)
+        latent: jax.Array,
         encoder_hidden_states: jax.Array,
         timestep: jax.Array,
-        shortcut_duration: Optional[jax.Array] = None,
-        guidance_scale: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        shortcut_duration: Optional[jax.Array],
+        guidance_scale: Optional[jax.Array],
+    ):
+        """Steps 1-3.5 of the forward (condition tokens, global cond,
+        patchify, positional encoding). Shared by ``__call__`` and
+        ``deepcache_forward``."""
         batch_size, height, width, _ = latent.shape
 
         # 1. condition tokens: projected text + register tokens
@@ -493,6 +496,48 @@ class MMDiT(Module):
         # blends learned PE with RoPE here)
         patches, rope_freqs = self._position_encoding(
             params, patches, cond_tokens.shape[1], height, width
+        )
+        return cond_tokens, patches, global_cond, rope_freqs, height, width
+
+    def _run_single_range(self, params, context, global_cond, rope_freqs,
+                          start: int = 0, end: Optional[int] = None):
+        """Single (joint-sequence) layers [start, end) as a plain stack."""
+        end = len(self.single_layers) if end is None else end
+        for i in range(start, end):
+            layer = self.single_layers[i]
+            fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
+            if self.gradient_checkpointing:
+                fn = remat_layer(fn)
+            context = fn(params["single_layers"][str(i)], context)
+        return context
+
+    def _finish(self, params, patches, global_cond, height: int, width: int):
+        """Final modulation + projection + unpatchify (steps 6-7)."""
+        f_shift, f_scale = self.modF(params["modF"], global_cond)
+        patches = modulate(patches, f_shift, f_scale)
+        patches = self.final_linear(params["final_linear"], patches)
+        return unpatchify(
+            patches,
+            height // self.patch_size,
+            width // self.patch_size,
+            self.patch_size,
+            self.out_channels,
+        )
+
+    def __call__(
+        self,
+        params,
+        latent: jax.Array,  # (B, H, W, C)
+        encoder_hidden_states: jax.Array,
+        timestep: jax.Array,
+        shortcut_duration: Optional[jax.Array] = None,
+        guidance_scale: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cond_tokens, patches, global_cond, rope_freqs, height, width = (
+            self._prepare_tokens(
+                params, latent, encoder_hidden_states, timestep,
+                shortcut_duration, guidance_scale,
+            )
         )
 
         # 4. double layers (optionally GPipe-pipelined, see set_pipeline)
@@ -544,26 +589,74 @@ class MMDiT(Module):
                     mesh, num_mb, axis=axis, wrap=wrap,
                 )["h"]
             else:
-                for i, layer in enumerate(self.single_layers):
-                    fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
-                    if self.gradient_checkpointing:
-                        fn = remat_layer(fn)
-                    context = fn(params["single_layers"][str(i)], context)
+                context = self._run_single_range(
+                    params, context, global_cond, rope_freqs
+                )
             patches = context[:, cond_len:]
 
-        # 6. final modulation + projection
-        f_shift, f_scale = self.modF(params["modF"], global_cond)
-        patches = modulate(patches, f_shift, f_scale)
-        patches = self.final_linear(params["final_linear"], patches)
+        # 6-7. final modulation + projection + unpatchify
+        return self._finish(params, patches, global_cond, height, width)
 
-        # 7. unpatchify to NHWC
-        return unpatchify(
-            patches,
-            height // self.patch_size,
-            width // self.patch_size,
-            self.patch_size,
-            self.out_channels,
+    def deepcache_forward(
+        self,
+        params,
+        latent: jax.Array,
+        encoder_hidden_states: jax.Array,
+        timestep: jax.Array,
+        shortcut_duration: Optional[jax.Array] = None,
+        guidance_scale: Optional[jax.Array] = None,
+        cached_delta: Optional[jax.Array] = None,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
+    ):
+        """DeepCache-style step caching for the MMDiT (same Delta-DiT
+        scheme as Lumina2's ``NextDiT.deepcache_forward``; beyond the
+        reference, which has no step caching).
+
+        The single-layer joint stack is residual, so split it at
+        ``cache_depth`` k: a full (``refresh=True``) step records
+        ``delta = x_N - x_k``, the summed residual contribution of the
+        deep suffix [k, N). A cached step runs the double layers and the
+        shallow single prefix [0, k) fresh and approximates
+        ``x_N = x_k + delta``. The double layers always run — they are 4
+        of 36 on the full model and feed both streams. ``refresh`` is a
+        static Python bool (host-driven sampling loop); each variant
+        compiles separately. Returns ``(velocity, delta)``.
+        """
+        assert self._pipeline is None, "DeepCache is an inference-only path"
+        n = len(self.single_layers)
+        k = cache_depth if cache_depth is not None else max(1, n // 4)
+        assert 0 < k < n, (k, n)
+
+        cond_tokens, patches, global_cond, rope_freqs, height, width = (
+            self._prepare_tokens(
+                params, latent, encoder_hidden_states, timestep,
+                shortcut_duration, guidance_scale,
+            )
         )
+        for i, layer in enumerate(self.double_layers):
+            cond_tokens, patches = layer(
+                params["double_layers"][str(i)], cond_tokens, patches,
+                global_cond, rope_freqs,
+            )
+        cond_len = cond_tokens.shape[1]
+        context = jnp.concatenate([cond_tokens, patches], axis=1)
+        context = self._run_single_range(
+            params, context, global_cond, rope_freqs, 0, k
+        )
+        if refresh:
+            shallow = context
+            context = self._run_single_range(
+                params, context, global_cond, rope_freqs, k, n
+            )
+            delta = context - shallow
+        else:
+            assert cached_delta is not None
+            context = context + cached_delta.astype(context.dtype)
+            delta = cached_delta
+        patches = context[:, cond_len:]
+        velocity = self._finish(params, patches, global_cond, height, width)
+        return velocity, delta
 
 
 class Denoiser(MMDiT):

@@ -154,25 +154,40 @@ class AuraFlowModel:
     # -- compiled denoise step --------------------------------------------------------
 
     def _denoise_step(
-        self, params, latents, sigma, sigma_next, embeddings, cfg_scale, do_cfg: bool
+        self, params, latents, sigma, sigma_next, embeddings, cfg_scale,
+        cached_delta=None, do_cfg: bool = False, deep_cache: bool = False,
+        refresh: bool = True, cache_depth=None,
     ):
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         batch = model_input.shape[0]
         timestep = jnp.broadcast_to(sigma.astype(latents.dtype), (batch,))
-        velocity = self.denoiser(params, model_input, embeddings, timestep)
+        if deep_cache:
+            velocity, delta = self.denoiser.deepcache_forward(
+                params, model_input, embeddings, timestep,
+                cached_delta=cached_delta, refresh=refresh,
+                cache_depth=cache_depth,
+            )
+        else:
+            velocity = self.denoiser(params, model_input, embeddings, timestep)
+            delta = None
         if do_cfg:
             positive, negative = jnp.split(velocity, 2)
             velocity = negative + cfg_scale * (positive - negative)
         new_latents = latents.astype(jnp.float32) + (
             sigma_next - sigma
         ) * velocity.astype(jnp.float32)
+        if deep_cache:
+            return new_latents.astype(latents.dtype), delta
         return new_latents.astype(latents.dtype)
 
-    def _get_jit_step(self, do_cfg: bool):
+    def _get_jit_step(self, do_cfg: bool, deep_cache: bool = False,
+                      refresh: bool = True, cache_depth=None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+            self, f"step_{do_cfg}_{deep_cache}_{refresh}_{cache_depth}",
+            partial(self._denoise_step, do_cfg=do_cfg, deep_cache=deep_cache,
+                    refresh=refresh, cache_depth=cache_depth),
         )
 
     # -- generate ---------------------------------------------------------------------
@@ -188,6 +203,8 @@ class AuraFlowModel:
         seed: Optional[int] = None,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         do_offloading: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_depth: Optional[int] = None,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         timesteps, num_inference_steps = self.scheduler.retrieve_timesteps(
@@ -209,9 +226,9 @@ class AuraFlowModel:
 
         latents = self.prepare_latents(batch_size, height, width, seed=seed)
 
-        step = self._get_jit_step(do_cfg)
+        cached_delta = None
         for i in range(len(timesteps)):
-            latents = step(
+            step_args = (
                 self.params["denoiser"],
                 latents,
                 jnp.float32(sigmas[i]),
@@ -219,5 +236,17 @@ class AuraFlowModel:
                 embeddings,
                 jnp.float32(cfg_scale),
             )
+            if deep_cache_interval:
+                refresh = (i % deep_cache_interval == 0) or cached_delta is None
+                step = self._get_jit_step(
+                    do_cfg, deep_cache=True, refresh=refresh,
+                    cache_depth=deep_cache_depth,
+                )
+                latents, cached_delta = step(
+                    *step_args, None if refresh else cached_delta
+                )
+            else:
+                step = self._get_jit_step(do_cfg)
+                latents = step(*step_args)
 
         return self.decode_image(latents)
