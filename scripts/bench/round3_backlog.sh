@@ -40,4 +40,5 @@ run python tools/bench/family_generate.py auraflow
 run python tools/bench/family_generate.py cogview4
 run python tools/bench/family_generate.py auraflow_w8a8
 run python tools/bench/family_generate.py auraflow --deep-cache 2
+run python tools/bench/family_generate.py cogview4 --deep-cache 2
 echo "backlog done $(date -u)" | tee -a "$LOG"

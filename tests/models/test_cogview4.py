@@ -159,6 +159,19 @@ def test_generate_end_to_end(tmp_path):
     )
     assert len(images) == 1 and images[0].size == (32, 32)
 
+    # deep_cache_interval=1 refreshes every step -> bit-exact vs plain
+    images_dc = model.generate(
+        "a cat on a mat", width=32, height=32, num_inference_steps=2,
+        cfg_scale=3.5, seed=0, deep_cache_interval=1,
+    )
+    np.testing.assert_array_equal(np.asarray(images_dc[0]), np.asarray(images[0]))
+    # interval 2 reuses the cached delta and still decodes a valid image
+    images_dc2 = model.generate(
+        "a cat on a mat", width=32, height=32, num_inference_steps=2,
+        cfg_scale=3.5, seed=0, deep_cache_interval=2,
+    )
+    assert images_dc2[0].size == (32, 32)
+
     sd = model.state_dict()
     assert any(k.startswith("diffusion_model.") for k in sd)
     # on disk the text encoder drops the internal .model. level
@@ -178,3 +191,49 @@ def test_generate_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(images2[0], np.float32), np.asarray(images[0], np.float32), atol=1
     )
+
+
+def test_deepcache_forward():
+    """Delta-cached DiT forward: refresh pass is bit-identical to the plain
+    forward; a cached pass on the SAME inputs reconstructs it to rounding;
+    the cached program really skips the deep blocks (a NaN planted in the
+    deepest block's params poisons refresh but not cached)."""
+    ours = Denoiser(DenoiserConfig(**TINY))
+    flat = flatten_params(ours.init(jax.random.PRNGKey(1)))
+    params = unflatten_params({
+        k: jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             v.shape, v.dtype) * 0.05
+        if v.dtype.kind == "f" else v
+        for i, (k, v) in enumerate(sorted(flat.items()))
+    })
+    rng = np.random.default_rng(3)
+    latent = jnp.asarray(rng.standard_normal((2, 8, 8, 4), np.float32))
+    text = jnp.asarray(rng.standard_normal((2, 6, 40), np.float32))
+    t = jnp.asarray([500.0, 100.0], jnp.float32)
+    sizes = jnp.full((2, 2), 64.0, jnp.float32)
+    crops = jnp.zeros((2, 2), jnp.float32)
+    args = (latent, text, t, sizes, sizes, crops)
+
+    plain = ours(params, *args)
+    full, delta = ours.deepcache_forward(params, *args, refresh=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+    cached, delta2 = ours.deepcache_forward(
+        params, *args, cached_delta=delta, refresh=False
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+    # poison the deepest block: refresh sees it, cached does not
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    deepest = str(len(ours.transformer_blocks) - 1)
+    bad["transformer_blocks"][deepest] = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), bad["transformer_blocks"][deepest]
+    )
+    poisoned, _ = ours.deepcache_forward(bad, *args, refresh=True)
+    assert not np.isfinite(np.asarray(poisoned)).all()
+    clean, _ = ours.deepcache_forward(
+        bad, *args, cached_delta=delta, refresh=False
+    )
+    assert np.isfinite(np.asarray(clean)).all()

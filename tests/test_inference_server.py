@@ -148,7 +148,7 @@ def test_t2imodel_flag_validation(tmp_path):
 
     with pytest.raises(ValueError, match="DeepCache family"):
         T2IModel("does-not-exist.yml", None, None,
-                 family="cogview4", deep_cache_interval=2)
+                 family="flux", deep_cache_interval=2)
 
     cfg = tmp_path / "c.yml"
     cfg.write_text(

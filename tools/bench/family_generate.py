@@ -107,6 +107,8 @@ def bench(name: str, deep_cache: int | None = None):
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+        if deep_cache:
+            kwargs["deep_cache_interval"] = deep_cache
     else:
         raise SystemExit(f"unknown family {name}")
 
@@ -188,17 +190,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     argv = sys.argv[1:]
     deep_cache = None
-    if "--deep-cache" in argv:  # sdxl/lumina2/auraflow: DeepCache interval
+    if "--deep-cache" in argv:  # DeepCache interval (image families)
         i = argv.index("--deep-cache")
         try:
             deep_cache = int(argv[i + 1])
         except (IndexError, ValueError):
-            sys.exit("usage: --deep-cache <int> (sdxl/lumina2/auraflow only)")
+            sys.exit("usage: --deep-cache <int> (sdxl/lumina2/auraflow/cogview4)")
         argv = argv[:i] + argv[i + 2:]
     families = argv or ["lumina2", "auraflow", "cogview4"]
-    if deep_cache and any(f.split("_")[0] not in ("sdxl", "lumina2", "auraflow")
-                          for f in families):
-        sys.exit("--deep-cache applies to sdxl/lumina2/auraflow only")
+    if deep_cache and any(
+            f.split("_")[0] not in ("sdxl", "lumina2", "auraflow", "cogview4")
+            for f in families):
+        sys.exit("--deep-cache applies to sdxl/lumina2/auraflow/cogview4")
     for name in families:
         try:
             bench(name, deep_cache=deep_cache)

@@ -93,12 +93,12 @@ class T2IModel:
         from vision_ft_tpu.config import TrainConfig
 
         if deep_cache_interval is not None and family not in (
-            "sdxl", "lumina2", "auraflow"
+            "sdxl", "lumina2", "auraflow", "cogview4"
         ):
             # decidable from flags alone — fail before the checkpoint load
             raise ValueError(
                 "deep_cache_interval needs a DeepCache family "
-                "(sdxl, lumina2 or auraflow)"
+                "(sdxl, lumina2, auraflow or cogview4)"
             )
         with open(config_path) as f:
             config = TrainConfig(**yaml.safe_load(f))
@@ -355,7 +355,7 @@ def make_handler(batcher: MicroBatcher):
               type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]),
               default="auraflow")
 @click.option("--deep-cache-interval", type=int, default=None,
-              help="sdxl/lumina2/auraflow: DeepCache full-pass interval")
+              help="sdxl/lumina2/auraflow/cogview4: DeepCache full-pass interval")
 @click.option("--port", type=int, default=8123)
 @click.option("--max-batch", type=int, default=4)
 @click.option("--batch-window-ms", type=float, default=25.0)

@@ -285,16 +285,12 @@ class CogView4DiT(Module):
             )
         self._pipeline = (mesh, num_microbatches, axis) if mesh is not None else None
 
-    def __call__(
-        self,
-        params,
-        latent: jax.Array,  # (B, H, W, C) NHWC
-        encoder_hidden_states: jax.Array,
-        timestep: jax.Array,
-        original_size: jax.Array,
-        target_size: jax.Array,
-        crop_coords: jax.Array,
-    ) -> jax.Array:
+    def _prepare_tokens(
+        self, params, latent, encoder_hidden_states, timestep,
+        original_size, target_size, crop_coords,
+    ):
+        """Embeddings, RoPE tables and the global adaLN condition. Shared
+        by ``__call__`` and ``deepcache_forward``."""
         b, height, width, _ = latent.shape
         p = self.patch_size
 
@@ -311,6 +307,46 @@ class CogView4DiT(Module):
         global_cond = self.time_condition_embed(
             params["time_condition_embed"], timestep, original_size, target_size,
             crop_coords, hidden_states.dtype,
+        )
+        return hidden_states, encoder_hidden_states, rope_freqs, global_cond, height, width
+
+    def _run_blocks_range(self, params, hidden_states, encoder_hidden_states,
+                          global_cond, rope_freqs, start: int = 0, end=None):
+        """Transformer blocks [start, end) as a plain stack."""
+        end = len(self.transformer_blocks) if end is None else end
+        for i in range(start, end):
+            block = self.transformer_blocks[i]
+            fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
+            if self.gradient_checkpointing:
+                fn = remat_layer(fn)
+            hidden_states, encoder_hidden_states = fn(
+                params["transformer_blocks"][str(i)], hidden_states,
+                encoder_hidden_states,
+            )
+        return hidden_states, encoder_hidden_states
+
+    def _finish(self, params, hidden_states, global_cond, height: int, width: int):
+        p = self.patch_size
+        hidden_states = self.norm_out(params["norm_out"], hidden_states, global_cond)
+        hidden_states = self.proj_out(params["proj_out"], hidden_states)
+        return unpatchify_cmajor(
+            hidden_states, height // p, width // p, p, self.out_channels
+        )
+
+    def __call__(
+        self,
+        params,
+        latent: jax.Array,  # (B, H, W, C) NHWC
+        encoder_hidden_states: jax.Array,
+        timestep: jax.Array,
+        original_size: jax.Array,
+        target_size: jax.Array,
+        crop_coords: jax.Array,
+    ) -> jax.Array:
+        (hidden_states, encoder_hidden_states, rope_freqs, global_cond,
+         height, width) = self._prepare_tokens(
+            params, latent, encoder_hidden_states, timestep,
+            original_size, target_size, crop_coords,
         )
 
         if self._pipeline is not None:
@@ -334,17 +370,62 @@ class CogView4DiT(Module):
             )
             hidden_states, encoder_hidden_states = out["h"], out["c"]
         else:
-            for i, block in enumerate(self.transformer_blocks):
-                fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                hidden_states, encoder_hidden_states = fn(
-                    params["transformer_blocks"][str(i)], hidden_states, encoder_hidden_states
-                )
+            hidden_states, encoder_hidden_states = self._run_blocks_range(
+                params, hidden_states, encoder_hidden_states, global_cond,
+                rope_freqs,
+            )
 
-        hidden_states = self.norm_out(params["norm_out"], hidden_states, global_cond)
-        hidden_states = self.proj_out(params["proj_out"], hidden_states)
-        return unpatchify_cmajor(hidden_states, height // p, width // p, p, self.out_channels)
+        return self._finish(params, hidden_states, global_cond, height, width)
+
+    def deepcache_forward(
+        self,
+        params,
+        latent: jax.Array,
+        encoder_hidden_states: jax.Array,
+        timestep: jax.Array,
+        original_size: jax.Array,
+        target_size: jax.Array,
+        crop_coords: jax.Array,
+        cached_delta: Optional[jax.Array] = None,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
+    ):
+        """DeepCache-style step caching (same Delta-DiT scheme as the
+        Lumina2/AuraFlow variants; beyond the reference, which has no step
+        caching). The block stack is residual, so a full (``refresh=True``)
+        step records ``delta = h_N - h_k`` of the deep suffix [k, N); a
+        cached step runs only the shallow prefix [0, k) fresh and
+        approximates ``h_N = h_k + delta``. Only the image stream's delta
+        is cached — the final layer never reads the text stream. Returns
+        ``(output, delta)``.
+        """
+        assert self._pipeline is None, "DeepCache is an inference-only path"
+        n = len(self.transformer_blocks)
+        k = cache_depth if cache_depth is not None else max(1, n // 4)
+        assert 0 < k < n, (k, n)
+
+        (hidden_states, encoder_hidden_states, rope_freqs, global_cond,
+         height, width) = self._prepare_tokens(
+            params, latent, encoder_hidden_states, timestep,
+            original_size, target_size, crop_coords,
+        )
+        hidden_states, encoder_hidden_states = self._run_blocks_range(
+            params, hidden_states, encoder_hidden_states, global_cond,
+            rope_freqs, 0, k,
+        )
+        if refresh:
+            shallow = hidden_states
+            hidden_states, _ = self._run_blocks_range(
+                params, hidden_states, encoder_hidden_states, global_cond,
+                rope_freqs, k, n,
+            )
+            delta = hidden_states - shallow
+        else:
+            assert cached_delta is not None
+            hidden_states = hidden_states + cached_delta.astype(hidden_states.dtype)
+            delta = cached_delta
+        out = self._finish(params, hidden_states, global_cond, height, width)
+        return out, delta
 
 
 class Denoiser(CogView4DiT):

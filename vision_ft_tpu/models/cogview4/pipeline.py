@@ -145,26 +145,42 @@ class CogView4Model:
     # -- compiled step ------------------------------------------------------------------
 
     def _denoise_step(self, params, latents, timestep, sigma, next_sigma, embeddings,
-                      original_size, target_size, crop_coords, cfg_scale, do_cfg: bool):
+                      original_size, target_size, crop_coords, cfg_scale,
+                      cached_delta=None, do_cfg: bool = False,
+                      deep_cache: bool = False, refresh: bool = True,
+                      cache_depth=None):
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         batch = model_input.shape[0]
         t = jnp.broadcast_to(timestep.astype(latents.dtype), (batch,))
-        velocity = self.denoiser(
-            params, model_input, embeddings, t, original_size, target_size, crop_coords
-        )
+        if deep_cache:
+            velocity, delta = self.denoiser.deepcache_forward(
+                params, model_input, embeddings, t, original_size, target_size,
+                crop_coords, cached_delta=cached_delta, refresh=refresh,
+                cache_depth=cache_depth,
+            )
+        else:
+            velocity = self.denoiser(
+                params, model_input, embeddings, t, original_size, target_size, crop_coords
+            )
+            delta = None
         if do_cfg:
             positive, negative = jnp.split(velocity, 2)
             velocity = negative + cfg_scale * (positive - negative)
         new_latents = latents.astype(jnp.float32) + velocity.astype(jnp.float32) * (
             next_sigma - sigma
         )
+        if deep_cache:
+            return new_latents.astype(latents.dtype), delta
         return new_latents.astype(latents.dtype)
 
-    def _get_jit_step(self, do_cfg: bool):
+    def _get_jit_step(self, do_cfg: bool, deep_cache: bool = False,
+                      refresh: bool = True, cache_depth=None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+            self, f"step_{do_cfg}_{deep_cache}_{refresh}_{cache_depth}",
+            partial(self._denoise_step, do_cfg=do_cfg, deep_cache=deep_cache,
+                    refresh=refresh, cache_depth=cache_depth),
         )
 
     # -- generate ------------------------------------------------------------------------------
@@ -183,6 +199,8 @@ class CogView4Model:
         seed: Optional[int] = None,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         do_offloading: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_depth: Optional[int] = None,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         timesteps, sigmas = self.prepare_timesteps(num_inference_steps, height, width)
@@ -202,12 +220,24 @@ class CogView4Model:
 
         cond_batch = embeddings.shape[0]
         sizes = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (cond_batch, 2))
-        step = self._get_jit_step(do_cfg)
+        cached_delta = None
         for i, t in enumerate(timesteps):
-            latents = step(
+            step_args = (
                 self.params["denoiser"], latents, jnp.float32(t),
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
                 embeddings, sizes(original_size), sizes(target_size),
                 sizes(crop_coords_top_left), jnp.float32(cfg_scale),
             )
+            if deep_cache_interval:
+                refresh = (i % deep_cache_interval == 0) or cached_delta is None
+                step = self._get_jit_step(
+                    do_cfg, deep_cache=True, refresh=refresh,
+                    cache_depth=deep_cache_depth,
+                )
+                latents, cached_delta = step(
+                    *step_args, None if refresh else cached_delta
+                )
+            else:
+                step = self._get_jit_step(do_cfg)
+                latents = step(*step_args)
         return self.decode_image(latents)
