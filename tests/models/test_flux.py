@@ -187,6 +187,21 @@ def test_generate_end_to_end(tmp_path):
     )
     assert len(images) == 1 and images[0].size == (32, 32)
 
+    # deep_cache_interval=1 refreshes every step -> bit-exact vs plain
+    images_dc = model.generate(
+        "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=2.0,
+        distilled_guidance_scale=3.5, max_token_length=8, seed=3,
+        deep_cache_interval=1,
+    )
+    np.testing.assert_array_equal(np.asarray(images_dc[0]), np.asarray(images[0]))
+    # interval 2 reuses the cached delta and still decodes a valid image
+    images_dc2 = model.generate(
+        "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=2.0,
+        distilled_guidance_scale=3.5, max_token_length=8, seed=3,
+        deep_cache_interval=2,
+    )
+    assert images_dc2[0].size == (32, 32)
+
     # original-key round trip
     sd = model.state_dict()
     assert any(k.startswith("model.diffusion_model.") for k in sd)
@@ -206,3 +221,51 @@ def test_generate_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(images2[0], np.float32), np.asarray(images[0], np.float32), atol=1
     )
+
+
+def test_deepcache_forward():
+    """Delta-cached Flux forward: refresh pass is bit-identical to the plain
+    forward; a cached pass on the SAME inputs reconstructs it to rounding;
+    the cached program really skips the deep single blocks (a NaN planted
+    in the deepest single block's params poisons refresh but not cached)."""
+    from vision_ft_tpu.nn import flatten_params, unflatten_params
+
+    ours = Denoiser(DenoiserConfig(**TINY))
+    flat = flatten_params(ours.init(jax.random.PRNGKey(1)))
+    params = unflatten_params({
+        k: jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             v.shape, v.dtype) * 0.05
+        if v.dtype.kind == "f" else v
+        for i, (k, v) in enumerate(sorted(flat.items()))
+    })
+    rng = np.random.default_rng(3)
+    latent = jnp.asarray(rng.standard_normal((2, 8, 8, 4), np.float32))
+    t5 = jnp.asarray(rng.standard_normal((2, 6, 32), np.float32))
+    clip = jnp.asarray(rng.standard_normal((2, 24), np.float32))
+    t = jnp.asarray([0.5, 0.9], jnp.float32)
+    g = jnp.full((2,), 3.5, jnp.float32)
+    args = (latent, t5, t, clip)
+
+    plain = ours(params, *args, guidance=g)
+    full, delta = ours.deepcache_forward(params, *args, guidance=g, refresh=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+    cached, delta2 = ours.deepcache_forward(
+        params, *args, guidance=g, cached_delta=delta, refresh=False
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+    # poison the deepest single block: refresh sees it, cached does not
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    deepest = str(len(ours.single_blocks) - 1)
+    bad["single_blocks"][deepest] = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), bad["single_blocks"][deepest]
+    )
+    poisoned, _ = ours.deepcache_forward(bad, *args, guidance=g, refresh=True)
+    assert not np.isfinite(np.asarray(poisoned)).all()
+    clean, _ = ours.deepcache_forward(
+        bad, *args, guidance=g, cached_delta=delta, refresh=False
+    )
+    assert np.isfinite(np.asarray(clean)).all()

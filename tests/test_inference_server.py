@@ -146,9 +146,9 @@ def test_t2imodel_flag_validation(tmp_path):
 
     from tools.inference_server import T2IModel
 
-    with pytest.raises(ValueError, match="DeepCache family"):
+    with pytest.raises(ValueError, match="must be >= 1"):
         T2IModel("does-not-exist.yml", None, None,
-                 family="flux", deep_cache_interval=2)
+                 family="flux", deep_cache_interval=0)
 
     cfg = tmp_path / "c.yml"
     cfg.write_text(

@@ -106,7 +106,7 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 @click.option("--save-path", type=str, default="output.webp")
 @click.option("--quant-type", type=str, default=None)
 @click.option("--deep-cache-interval", type=int, default=None,
-              help="sdxl/lumina2/auraflow/cogview4: full denoiser pass every N steps, "
+              help="all image families: full denoiser pass every N steps, "
               "shallow cached passes between (DeepCache / delta caching)")
 @click.option("--cfg-rescale", type=float, default=None,
               help="SDXL only: std-matching CFG rescale blend in [0, 1]")
@@ -117,10 +117,10 @@ def main(
 ):
     extra = {}
     if deep_cache_interval is not None:
-        if family not in ("sdxl", "lumina2", "auraflow", "cogview4"):
+        if family not in ("sdxl", "lumina2", "auraflow", "cogview4", "flux"):
             # decidable before the checkpoint load
             raise click.UsageError(
-                "--deep-cache-interval needs sdxl, lumina2, auraflow or cogview4")
+                "--deep-cache-interval needs an image family (not wan)")
         extra["deep_cache_interval"] = deep_cache_interval
     if cfg_rescale is not None:
         if family != "sdxl":

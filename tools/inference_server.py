@@ -92,14 +92,9 @@ class T2IModel:
                  deep_cache_interval: Optional[int] = None):
         from vision_ft_tpu.config import TrainConfig
 
-        if deep_cache_interval is not None and family not in (
-            "sdxl", "lumina2", "auraflow", "cogview4"
-        ):
-            # decidable from flags alone — fail before the checkpoint load
-            raise ValueError(
-                "deep_cache_interval needs a DeepCache family "
-                "(sdxl, lumina2, auraflow or cogview4)"
-            )
+        # every served family supports DeepCache delta caching
+        if deep_cache_interval is not None and deep_cache_interval < 1:
+            raise ValueError("deep_cache_interval must be >= 1")
         with open(config_path) as f:
             config = TrainConfig(**yaml.safe_load(f))
         tokenizer = None
@@ -355,7 +350,7 @@ def make_handler(batcher: MicroBatcher):
               type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]),
               default="auraflow")
 @click.option("--deep-cache-interval", type=int, default=None,
-              help="sdxl/lumina2/auraflow/cogview4: DeepCache full-pass interval")
+              help="DeepCache full-pass interval (all served families)")
 @click.option("--port", type=int, default=8123)
 @click.option("--max-batch", type=int, default=4)
 @click.option("--batch-window-ms", type=float, default=25.0)

@@ -321,15 +321,17 @@ class Flux(Module):
         ), (len(self.double_blocks), len(self.single_blocks), p)
         self._pipeline = (mesh, num_microbatches, axis)
 
-    def __call__(
+    def _prepare_tokens(
         self,
         params,
-        latent: jax.Array,  # (B, H, W, C) NHWC, C = vae_channels
+        latent: jax.Array,
         t5_hidden_states: jax.Array,
         timesteps: jax.Array,
         clip_hidden_states: jax.Array,
-        guidance: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        guidance: Optional[jax.Array],
+    ):
+        """Input projections, the modulation vector and RoPE tables.
+        Shared by ``__call__`` and ``deepcache_forward``."""
         b, height, width, _ = latent.shape
         p = self.patch_size
 
@@ -354,6 +356,37 @@ class Flux(Module):
         txt_ids = self.rope_frequency.get_text_position_indices(txt.shape[1])
         img_ids = self.rope_frequency.get_image_position_indices(height, width)
         pe = self.rope_frequency(np.concatenate([txt_ids, img_ids], axis=0))
+        return img, txt, vec, pe, height, width
+
+    def _run_single_range(self, params, x, vec, pe, start: int = 0, end=None):
+        """Single (joint-sequence) blocks [start, end) as a plain stack."""
+        end = len(self.single_blocks) if end is None else end
+        for i in range(start, end):
+            block = self.single_blocks[i]
+            fn = lambda pp, xx: block(pp, xx, vec, pe)
+            if self.gradient_checkpointing:
+                fn = remat_layer(fn)
+            x = fn(params["single_blocks"][str(i)], x)
+        return x
+
+    def _finish(self, params, img, vec, height: int, width: int):
+        p = self.patch_size
+        img = self.final_layer(params["final_layer"], img, vec)
+        return unpatchify_cmajor(img, height // p, width // p, p, self.vae_channels)
+
+    def __call__(
+        self,
+        params,
+        latent: jax.Array,  # (B, H, W, C) NHWC, C = vae_channels
+        t5_hidden_states: jax.Array,
+        timesteps: jax.Array,
+        clip_hidden_states: jax.Array,
+        guidance: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        img, txt, vec, pe, height, width = self._prepare_tokens(
+            params, latent, t5_hidden_states, timesteps, clip_hidden_states,
+            guidance,
+        )
 
         wrap = remat_layer if self.gradient_checkpointing else None
         pipe = self._pipeline
@@ -399,15 +432,54 @@ class Flux(Module):
                 pe, mesh, num_mb, axis=axis, wrap=wrap,
             )["x"]
         else:
-            for i, block in enumerate(self.single_blocks):
-                fn = lambda pp, xx: block(pp, xx, vec, pe)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                x = fn(params["single_blocks"][str(i)], x)
+            x = self._run_single_range(params, x, vec, pe)
         img = x[:, txt.shape[1]:]
 
-        img = self.final_layer(params["final_layer"], img, vec)
-        return unpatchify_cmajor(img, height // p, width // p, p, self.vae_channels)
+        return self._finish(params, img, vec, height, width)
+
+    def deepcache_forward(
+        self,
+        params,
+        latent: jax.Array,
+        t5_hidden_states: jax.Array,
+        timesteps: jax.Array,
+        clip_hidden_states: jax.Array,
+        guidance: Optional[jax.Array] = None,
+        cached_delta: Optional[jax.Array] = None,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
+    ):
+        """DeepCache-style step caching (same Delta-DiT scheme as the
+        Lumina2/AuraFlow/CogView4 variants; beyond the reference, which has
+        no step caching). The double blocks always run; the single joint
+        stack is residual, so a full (``refresh=True``) step records
+        ``delta = x_N - x_k`` of the deep suffix [k, N) and a cached step
+        runs only the shallow prefix fresh and adds the cached delta.
+        Returns ``(output, delta)``."""
+        assert self._pipeline is None, "DeepCache is an inference-only path"
+        n = len(self.single_blocks)
+        k = cache_depth if cache_depth is not None else max(1, n // 4)
+        assert 0 < k < n, (k, n)
+
+        img, txt, vec, pe, height, width = self._prepare_tokens(
+            params, latent, t5_hidden_states, timesteps, clip_hidden_states,
+            guidance,
+        )
+        for i, block in enumerate(self.double_blocks):
+            img, txt = block(params["double_blocks"][str(i)], img, txt, vec, pe)
+        x = jnp.concatenate([txt, img], axis=1)
+        x = self._run_single_range(params, x, vec, pe, 0, k)
+        if refresh:
+            shallow = x
+            x = self._run_single_range(params, x, vec, pe, k, n)
+            delta = x - shallow
+        else:
+            assert cached_delta is not None
+            x = x + cached_delta.astype(x.dtype)
+            delta = cached_delta
+        img = x[:, txt.shape[1]:]
+        out = self._finish(params, img, vec, height, width)
+        return out, delta
 
 
 class Denoiser(Flux):

@@ -122,24 +122,40 @@ class FluxModel:
     # -- compiled step ------------------------------------------------------------------
 
     def _denoise_step(self, params, latents, timestep, delta, t5_emb, clip_emb,
-                      guidance, cfg_scale, do_cfg: bool):
+                      guidance, cfg_scale, cached_delta=None,
+                      do_cfg: bool = False, deep_cache: bool = False,
+                      refresh: bool = True, cache_depth=None):
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         batch = model_input.shape[0]
         t = jnp.broadcast_to(timestep.astype(latents.dtype), (batch,))
         g = jnp.broadcast_to(guidance.astype(latents.dtype), (batch,))
-        velocity = self.denoiser(params, model_input, t5_emb, t, clip_emb, guidance=g)
+        if deep_cache:
+            velocity, dc_delta = self.denoiser.deepcache_forward(
+                params, model_input, t5_emb, t, clip_emb, guidance=g,
+                cached_delta=cached_delta, refresh=refresh,
+                cache_depth=cache_depth,
+            )
+        else:
+            velocity = self.denoiser(params, model_input, t5_emb, t, clip_emb, guidance=g)
+            dc_delta = None
         if do_cfg:
             positive, negative = jnp.split(velocity, 2)
             velocity = negative + cfg_scale * (positive - negative)
-        return (latents.astype(jnp.float32) - velocity.astype(jnp.float32) * delta).astype(
-            latents.dtype
-        )
+        new_latents = (
+            latents.astype(jnp.float32) - velocity.astype(jnp.float32) * delta
+        ).astype(latents.dtype)
+        if deep_cache:
+            return new_latents, dc_delta
+        return new_latents
 
-    def _get_jit_step(self, do_cfg: bool):
+    def _get_jit_step(self, do_cfg: bool, deep_cache: bool = False,
+                      refresh: bool = True, cache_depth=None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+            self, f"step_{do_cfg}_{deep_cache}_{refresh}_{cache_depth}",
+            partial(self._denoise_step, do_cfg=do_cfg, deep_cache=deep_cache,
+                    refresh=refresh, cache_depth=cache_depth),
         )
 
     # -- generate ----------------------------------------------------------------------------
@@ -156,6 +172,8 @@ class FluxModel:
         seed: Optional[int] = None,
         max_token_length: int = DEFAULT_T5_MAX_TOKEN_LENGTH,
         do_offloading: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_depth: Optional[int] = None,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
@@ -174,11 +192,23 @@ class FluxModel:
         timesteps = get_linear_schedule(num_inference_steps)
         delta = 1.0 / num_inference_steps
 
-        step = self._get_jit_step(do_cfg)
-        for t in timesteps:
-            latents = step(
+        cached_delta = None
+        for i, t in enumerate(timesteps):
+            step_args = (
                 self.params["denoiser"], latents, jnp.float32(t), jnp.float32(delta),
                 t5_emb, clip_emb, jnp.float32(distilled_guidance_scale),
                 jnp.float32(cfg_scale),
             )
+            if deep_cache_interval:
+                refresh = (i % deep_cache_interval == 0) or cached_delta is None
+                step = self._get_jit_step(
+                    do_cfg, deep_cache=True, refresh=refresh,
+                    cache_depth=deep_cache_depth,
+                )
+                latents, cached_delta = step(
+                    *step_args, None if refresh else cached_delta
+                )
+            else:
+                step = self._get_jit_step(do_cfg)
+                latents = step(*step_args)
         return self.decode_image(latents)
