@@ -107,6 +107,7 @@ def _ref_bshd(q, k, v, h, scale, causal=False):
         (2, 256, 256, 4, 64, False),   # d=64 head pairs (SDXL layout)
         (1, 200, 300, 2, 64, False),   # non-block-multiple padding
         (1, 128, 128, 2, 128, False),  # d=128 single-head groups
+        (1, 128, 128, 2, 256, False),  # d=256 (AuraFlow heads)
         (1, 256, 256, 4, 64, True),    # causal
     ],
 )
