@@ -245,6 +245,21 @@ def test_generate_end_to_end(tmp_path):
     assert len(videos) == 1
     assert len(videos[0]) == 4 and videos[0][0].size == (32, 32)
 
+    # deep_cache_interval=1 refreshes every step -> bit-exact vs plain
+    videos_dc = model.generate(
+        "a cat running", frames=4, width=32, height=32,
+        num_inference_steps=2, cfg_scale=5.0, seed=0, deep_cache_interval=1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(videos_dc[0][0]), np.asarray(videos[0][0])
+    )
+    # interval 2 reuses the cached delta and still decodes valid frames
+    videos_dc2 = model.generate(
+        "a cat running", frames=4, width=32, height=32,
+        num_inference_steps=2, cfg_scale=5.0, seed=0, deep_cache_interval=2,
+    )
+    assert len(videos_dc2[0]) == 4
+
     # three-file checkpoint round trip through the reference key layout
     st.save_file(model.denoiser_state_dict(), config.denoiser_path)
     st.save_file(model.text_encoder_state_dict(), config.text_encoder_path)
@@ -284,3 +299,48 @@ def test_video_writer(tmp_path):
     import os
 
     assert os.path.getsize(path) > 0
+
+
+def test_deepcache_forward():
+    """Delta-cached Wan DiT forward: refresh pass is bit-identical to the
+    plain forward; a cached pass on the SAME inputs reconstructs it to
+    rounding; the cached program really skips the deep blocks (a NaN
+    planted in the deepest block's params poisons refresh but not cached)."""
+    from vision_ft_tpu.nn import flatten_params, unflatten_params
+
+    ours = Denoiser(DenoiserConfig(**TINY))
+    flat = flatten_params(ours.init(jax.random.PRNGKey(1)))
+    params = unflatten_params({
+        k: jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(2), i),
+                             v.shape, v.dtype) * 0.05
+        if v.dtype.kind == "f" else v
+        for i, (k, v) in enumerate(sorted(flat.items()))
+    })
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.standard_normal((2, 2, 8, 8, 8), np.float32))
+    t = jnp.asarray([0.4, 0.8], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 16, 24), np.float32))
+
+    plain = ours(params, latents, t, ctx)
+    full, delta = ours.deepcache_forward(params, latents, t, ctx, refresh=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+    cached, delta2 = ours.deepcache_forward(
+        params, latents, t, ctx, cached_delta=delta, refresh=False
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(delta2), np.asarray(delta))
+
+    # poison the deepest block: refresh sees it, cached does not
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    deepest = str(len(ours.blocks) - 1)
+    bad["blocks"][deepest] = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, jnp.nan), bad["blocks"][deepest]
+    )
+    poisoned, _ = ours.deepcache_forward(bad, latents, t, ctx, refresh=True)
+    assert not np.isfinite(np.asarray(poisoned)).all()
+    clean, _ = ours.deepcache_forward(
+        bad, latents, t, ctx, cached_delta=delta, refresh=False
+    )
+    assert np.isfinite(np.asarray(clean)).all()

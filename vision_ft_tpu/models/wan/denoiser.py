@@ -41,6 +41,7 @@ norm_k}.*, blocks.N.{norm3,ffn.0,ffn.2,modulation}, head.{head,modulation}).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -372,13 +373,15 @@ class DiT(Module):
 
     # -- forward -----------------------------------------------------------
 
-    def __call__(
+    def _prepare_tokens(
         self,
         params,
-        latents: jax.Array,  # (B, F, H, W, C_in) NFHWC
-        timesteps: jax.Array,  # (B,) or (B, L)
-        context: jax.Array,  # (B, Lc, text_dim), zero-padded anywhere <= text_len
-    ) -> jax.Array:
+        latents: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+    ):
+        """Patchify, RoPE, fp32 time embeddings, context embedding. Shared
+        by ``__call__`` and ``deepcache_forward``."""
         b, frames, height, width, _ = latents.shape
         pf, ph, pw = self.patch_size
         grid = (frames // pf, height // ph, width // pw)
@@ -413,8 +416,29 @@ class DiT(Module):
         ctx = self.text_embedding["2"](
             params["text_embedding"]["2"], jax.nn.gelu(ctx, approximate=True)
         )
+        return x.astype(jnp.float32), timestep_embed, timestep_element, ctx, rope, grid
 
-        x = x.astype(jnp.float32)
+    def _run_blocks_range(self, params, x, timestep_embed, rope, ctx,
+                          start: int = 0, end=None):
+        """Blocks [start, end) as a plain stack."""
+        end = len(self.blocks) if end is None else end
+        for i in range(start, end):
+            apply = self.blocks[i].__call__
+            if self.gradient_checkpointing:
+                apply = remat_layer(apply)
+            x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
+        return x
+
+    def __call__(
+        self,
+        params,
+        latents: jax.Array,  # (B, F, H, W, C_in) NFHWC
+        timesteps: jax.Array,  # (B,) or (B, L)
+        context: jax.Array,  # (B, Lc, text_dim), zero-padded anywhere <= text_len
+    ) -> jax.Array:
+        x, timestep_embed, timestep_element, ctx, rope, grid = (
+            self._prepare_tokens(params, latents, timesteps, context)
+        )
         if self._pipeline is not None:
             from ...parallel.pipeline import run_pipelined_stack
 
@@ -436,14 +460,46 @@ class DiT(Module):
                 wrap=remat_layer if self.gradient_checkpointing else None,
             )["x"]
         else:
-            for i, blk in enumerate(self.blocks):
-                apply = blk.__call__
-                if self.gradient_checkpointing:
-                    apply = remat_layer(apply)
-                x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
+            x = self._run_blocks_range(params, x, timestep_embed, rope, ctx)
 
         out = self.head(params["head"], x, timestep_element)
         return self._unpatchify(out, grid)
+
+    def deepcache_forward(
+        self,
+        params,
+        latents: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        cached_delta: Optional[jax.Array] = None,
+        refresh: bool = True,
+        cache_depth: Optional[int] = None,
+    ):
+        """DeepCache-style step caching (same Delta-DiT scheme as the image
+        DiT families; beyond the reference, which has no step caching). The
+        uniform block stack is residual: a full (``refresh=True``) step
+        records ``delta = x_N - x_k`` of the deep suffix [k, N); a cached
+        step runs only the shallow prefix fresh and adds the cached delta.
+        Returns ``(output, delta)``."""
+        assert self._pipeline is None, "DeepCache is an inference-only path"
+        n = len(self.blocks)
+        k = cache_depth if cache_depth is not None else max(1, n // 4)
+        assert 0 < k < n, (k, n)
+
+        x, timestep_embed, timestep_element, ctx, rope, grid = (
+            self._prepare_tokens(params, latents, timesteps, context)
+        )
+        x = self._run_blocks_range(params, x, timestep_embed, rope, ctx, 0, k)
+        if refresh:
+            shallow = x
+            x = self._run_blocks_range(params, x, timestep_embed, rope, ctx, k, n)
+            delta = x - shallow
+        else:
+            assert cached_delta is not None
+            x = x + cached_delta.astype(x.dtype)
+            delta = cached_delta
+        out = self.head(params["head"], x, timestep_element)
+        return self._unpatchify(out, grid), delta
 
 
 class Denoiser(DiT):

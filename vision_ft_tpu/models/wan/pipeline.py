@@ -171,23 +171,36 @@ class Wan22:
 
     def _denoise_step(
         self, params, latents, timestep, sigma, next_sigma, context, cfg_scale,
-        do_cfg: bool,
+        cached_delta=None, do_cfg: bool = False, deep_cache: bool = False,
+        refresh: bool = True, cache_depth=None,
     ):
         model_input = jnp.concatenate([latents, latents]) if do_cfg else latents
         batch = model_input.shape[0]
         t = jnp.broadcast_to(timestep, (batch,))
-        velocity = self.denoiser(params, model_input, t, context)
+        if deep_cache:
+            velocity, delta = self.denoiser.deepcache_forward(
+                params, model_input, t, context, cached_delta=cached_delta,
+                refresh=refresh, cache_depth=cache_depth,
+            )
+        else:
+            velocity = self.denoiser(params, model_input, t, context)
+            delta = None
         if do_cfg:
             positive, negative = jnp.split(velocity, 2)
             velocity = negative + (positive - negative) * cfg_scale
         new_latents = latents.astype(jnp.float32) + velocity * (next_sigma - sigma)
+        if deep_cache:
+            return new_latents.astype(latents.dtype), delta
         return new_latents.astype(latents.dtype)
 
-    def _get_jit_step(self, do_cfg: bool):
+    def _get_jit_step(self, do_cfg: bool, deep_cache: bool = False,
+                      refresh: bool = True, cache_depth=None):
         from ...nn.core import cached_jit
 
         return cached_jit(
-            self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
+            self, f"step_{do_cfg}_{deep_cache}_{refresh}_{cache_depth}",
+            partial(self._denoise_step, do_cfg=do_cfg, deep_cache=deep_cache,
+                    refresh=refresh, cache_depth=cache_depth),
         )
 
     # -- generate -------------------------------------------------------------
@@ -204,6 +217,8 @@ class Wan22:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         seed: Optional[int] = None,
         do_offloading: bool = False,
+        deep_cache_interval: Optional[int] = None,
+        deep_cache_depth: Optional[int] = None,
     ) -> list[list[Image.Image]]:
         do_cfg = cfg_scale > 1.0
         prompts = list(prompt) if isinstance(prompt, (list, tuple)) else [prompt]
@@ -240,12 +255,24 @@ class Wan22:
 
         latents = self.prepare_latents(batch_size, frames, height, width, seed=seed)
 
-        step = self._get_jit_step(do_cfg)
+        cached_delta = None
         for i, t in enumerate(timesteps):
-            latents = step(
+            step_args = (
                 self.params["denoiser"], latents, jnp.float32(t),
                 jnp.float32(sigmas[i]), jnp.float32(sigmas[i + 1]),
                 context, jnp.float32(cfg_scale),
             )
+            if deep_cache_interval:
+                refresh = (i % deep_cache_interval == 0) or cached_delta is None
+                step = self._get_jit_step(
+                    do_cfg, deep_cache=True, refresh=refresh,
+                    cache_depth=deep_cache_depth,
+                )
+                latents, cached_delta = step(
+                    *step_args, None if refresh else cached_delta
+                )
+            else:
+                step = self._get_jit_step(do_cfg)
+                latents = step(*step_args)
 
         return self.decode_videos(latents)
