@@ -213,19 +213,24 @@ class AuraFlowModel:
         sigmas = self.scheduler.sigmas
         batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
 
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"],
-            prompt,
-            negative_prompt,
-            use_negative_prompts=do_cfg,
-            max_token_length=max_token_length,
-        )
+        from ...modules.offload import move_params, stage_on_device
+
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"],
+                prompt,
+                negative_prompt,
+                use_negative_prompts=do_cfg,
+                max_token_length=max_token_length,
+            )
         embeddings = jnp.concatenate(
             [encoder_output.positive_embeddings, encoder_output.negative_embeddings]
         ).astype(self.dtype)
 
         latents = self.prepare_latents(batch_size, height, width, seed=seed)
 
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         cached_delta = None
         for i in range(len(timesteps)):
             step_args = (
@@ -249,4 +254,7 @@ class AuraFlowModel:
                 step = self._get_jit_step(do_cfg)
                 latents = step(*step_args)
 
-        return self.decode_image(latents)
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
+        with stage_on_device(self.params, "vae", do_offloading):
+            return self.decode_image(latents)

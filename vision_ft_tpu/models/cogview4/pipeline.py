@@ -208,10 +208,13 @@ class CogView4Model:
         original_size = original_size or (height, width)
         target_size = target_size or (height, width)
 
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"], prompt, negative_prompt,
-            use_negative_prompts=do_cfg, max_token_length=max_token_length,
-        )
+        from ...modules.offload import move_params, stage_on_device
+
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"], prompt, negative_prompt,
+                use_negative_prompts=do_cfg, max_token_length=max_token_length,
+            )
         embeddings = jnp.concatenate(
             [encoder_output.positive_embeddings, encoder_output.negative_embeddings]
         ).astype(self.dtype)
@@ -220,6 +223,8 @@ class CogView4Model:
 
         cond_batch = embeddings.shape[0]
         sizes = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (cond_batch, 2))
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         cached_delta = None
         for i, t in enumerate(timesteps):
             step_args = (
@@ -240,4 +245,7 @@ class CogView4Model:
             else:
                 step = self._get_jit_step(do_cfg)
                 latents = step(*step_args)
-        return self.decode_image(latents)
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
+        with stage_on_device(self.params, "vae", do_offloading):
+            return self.decode_image(latents)

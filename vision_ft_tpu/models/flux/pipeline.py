@@ -175,12 +175,15 @@ class FluxModel:
         deep_cache_interval: Optional[int] = None,
         deep_cache_depth: Optional[int] = None,
     ) -> list[Image.Image]:
+        from ...modules.offload import move_params, stage_on_device
+
         do_cfg = cfg_scale > 1.0
         batch_size = len(prompt) if isinstance(prompt, (list, tuple)) else 1
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"], prompt, negative_prompt,
-            use_negative_prompts=do_cfg, t5_max_token_length=max_token_length,
-        )
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"], prompt, negative_prompt,
+                use_negative_prompts=do_cfg, t5_max_token_length=max_token_length,
+            )
         t5_emb = jnp.concatenate(
             [encoder_output.t5.positive_embeddings, encoder_output.t5.negative_embeddings]
         ).astype(self.dtype)
@@ -192,6 +195,8 @@ class FluxModel:
         timesteps = get_linear_schedule(num_inference_steps)
         delta = 1.0 / num_inference_steps
 
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         cached_delta = None
         for i, t in enumerate(timesteps):
             step_args = (
@@ -211,4 +216,7 @@ class FluxModel:
             else:
                 step = self._get_jit_step(do_cfg)
                 latents = step(*step_args)
-        return self.decode_image(latents)
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
+        with stage_on_device(self.params, "vae", do_offloading):
+            return self.decode_image(latents)

@@ -235,16 +235,21 @@ class Lumina2:
         prompts = list(prompt) if isinstance(prompt, (list, tuple)) else [prompt]
         batch_size = len(prompts)
 
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"],
-            prompts,
-            negative_prompt,
-            use_negative_prompts=do_cfg,
-            max_token_length=max_token_length,
-        )
+        from ...modules.offload import move_params, stage_on_device
+
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"],
+                prompts,
+                negative_prompt,
+                use_negative_prompts=do_cfg,
+                max_token_length=max_token_length,
+            )
 
         latents = self.prepare_latents(batch_size, height, width, seed=seed)
 
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         cached_features = None
         cached_was_cfg = None
         cached_delta = None
@@ -299,4 +304,7 @@ class Lumina2:
             cached_features = refined
             cached_was_cfg = do_cfg_step
 
-        return self.decode_image(latents)
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
+        with stage_on_device(self.params, "vae", do_offloading):
+            return self.decode_image(latents)

@@ -382,6 +382,7 @@ class SDXLModel:
         max_token_length: int = 75,
         seed: Optional[int] = None,
         deep_cache_interval: Optional[int] = None,
+        do_offloading: bool = False,
     ) -> list[Image.Image]:
         do_cfg = cfg_scale > 1.0
         timesteps = self.scheduler.get_timesteps(num_inference_steps)
@@ -391,13 +392,16 @@ class SDXLModel:
         target_size = target_size or (height, width)
         should_tile = max(height, width) >= 1536
 
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"],
-            prompt,
-            negative_prompt,
-            use_negative_prompts=do_cfg,
-            max_token_length=max_token_length,
-        )
+        from ...modules.offload import stage_on_device
+
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"],
+                prompt,
+                negative_prompt,
+                use_negative_prompts=do_cfg,
+                max_token_length=max_token_length,
+            )
         embeddings, pooled = self.prepare_encoder_hidden_states(encoder_output, do_cfg)
         return self._generate_core(
             embeddings, pooled, batch_size, height, width,
@@ -405,6 +409,7 @@ class SDXLModel:
             timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
             deep_cache_interval=deep_cache_interval,
             cfg_rescale=cfg_rescale,
+            do_offloading=do_offloading,
         )
 
     def _generate_core(
@@ -413,6 +418,7 @@ class SDXLModel:
         timesteps, sigmas, cfg_scale, do_cfg, seed, should_tile,
         deep_cache_interval: Optional[int] = None,
         cfg_rescale: float = 0.0,
+        do_offloading: bool = False,
     ) -> list[Image.Image]:
         """The denoise loop shared by the base model and the context-level
         adapters (PFG / style tokenizer), which only differ in how
@@ -430,6 +436,10 @@ class SDXLModel:
         target_size_t = sizes(target_size)
         crop_t = sizes(crop_coords_top_left)
 
+        from ...modules.offload import move_params
+
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         loop = self._get_jit_loop(do_cfg, deep_cache_interval)
         noise_seed = seed if seed is not None else int(np.random.randint(0, 2**31 - 1))
         n = len(timesteps)
@@ -452,6 +462,12 @@ class SDXLModel:
             jnp.float32(cfg_rescale),
         )
 
+        if do_offloading:
+            from ...modules.offload import stage_on_device
+
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
+            with stage_on_device(self.params, "vae", True):
+                return self.decode_image(latents, use_tiling=should_tile)
         return self.decode_image(latents, use_tiling=should_tile)
 
     def prepare_encoder_hidden_states(self, encoder_output, do_cfg: bool):

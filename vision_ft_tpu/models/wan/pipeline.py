@@ -227,13 +227,16 @@ class Wan22:
         timesteps = self.scheduler.get_timesteps(num_inference_steps)
         sigmas = self.scheduler.get_sigmas(num_inference_steps)
 
-        encoder_output = self.text_encoder.encode_prompts(
-            self.params["text_encoder"],
-            prompts,
-            negative_prompt,
-            use_negative_prompts=do_cfg,
-            max_token_length=max_token_length,
-        )
+        from ...modules.offload import move_params, stage_on_device
+
+        with stage_on_device(self.params, "text_encoder", do_offloading):
+            encoder_output = self.text_encoder.encode_prompts(
+                self.params["text_encoder"],
+                prompts,
+                negative_prompt,
+                use_negative_prompts=do_cfg,
+                max_token_length=max_token_length,
+            )
         if do_cfg:
             embeddings = jnp.concatenate(
                 [encoder_output.positive_embeddings, encoder_output.negative_embeddings]
@@ -255,6 +258,8 @@ class Wan22:
 
         latents = self.prepare_latents(batch_size, frames, height, width, seed=seed)
 
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "tpu")
         cached_delta = None
         for i, t in enumerate(timesteps):
             step_args = (
@@ -275,4 +280,6 @@ class Wan22:
                 step = self._get_jit_step(do_cfg)
                 latents = step(*step_args)
 
+        if do_offloading:
+            self.params["denoiser"] = move_params(self.params["denoiser"], "cpu")
         return self.decode_videos(latents)

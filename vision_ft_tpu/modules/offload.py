@@ -116,3 +116,20 @@ class OffloadableModuleMixin:
         finally:
             if self.offload_strategy is not None:
                 move_params(placed, self.offload_strategy.offload_device)
+
+
+@contextmanager
+def stage_on_device(params: Params, key: str, enabled: bool,
+                    execution="tpu", offload="cpu"):
+    """Whole-submodule generate()-stage offload (reference
+    sdxl/pipeline.py:322-413): bring ``params[key]`` to the execution
+    device for the stage's duration, then park it on the offload device.
+    No-op when ``enabled`` is False — the zero-cost default path."""
+    if not enabled:
+        yield
+        return
+    params[key] = move_params(params[key], execution)
+    try:
+        yield
+    finally:
+        params[key] = move_params(params[key], offload)
