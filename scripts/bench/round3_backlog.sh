@@ -41,4 +41,6 @@ run python tools/bench/family_generate.py cogview4
 run python tools/bench/family_generate.py auraflow_w8a8
 run python tools/bench/family_generate.py auraflow --deep-cache 2
 run python tools/bench/family_generate.py cogview4 --deep-cache 2
+# first-ever flux generate number: NF4 denoiser + staged offload (12B on 16 GB)
+run python tools/bench/family_generate.py flux_nf4
 echo "backlog done $(date -u)" | tee -a "$LOG"

@@ -109,6 +109,38 @@ def bench(name: str, deep_cache: int | None = None):
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
         if deep_cache:
             kwargs["deep_cache_interval"] = deep_cache
+    elif base == "flux":
+        from vision_ft_tpu.models.flux.config import FluxConfig
+        from vision_ft_tpu.models.flux.pipeline import FluxModel
+
+        class MockCLIPTok:
+            bos_token_id = 0
+            eos_token_id = 49407
+            pad_token_id = 49407
+
+            def __call__(self, prompts, max_length=None, **kw):
+                rows = []
+                for p in prompts:
+                    ids = [3 + (hash(w) % 40000) for w in p.split()][: max_length - 2]
+                    row = [0, *ids, self.eos_token_id]
+                    row += [self.pad_token_id] * (max_length - len(row))
+                    rows.append(row)
+                return np.asarray(rows, np.int32)
+
+        model = FluxModel(
+            FluxConfig(checkpoint_path="/nonexistent", dtype="bfloat16"),
+            clip_tokenizer=MockCLIPTok(), t5_tokenizer=MockHFTokenizer(),
+        )
+        # flux1-dev is 12B: bf16 denoiser alone exceeds 16 GB HBM, so only
+        # the NF4 variant is benchable — and only with the staged offload
+        # path (T5-XXL encode and the denoise loop never resident together)
+        if not name.endswith("_nf4"):
+            raise SystemExit("flux is benchable as flux_nf4 only (12B bf16 > 16 GB)")
+        kwargs = dict(width=1024, height=1024, num_inference_steps=20,
+                      cfg_scale=1.0, distilled_guidance_scale=3.5,
+                      do_offloading=True)
+        if deep_cache:
+            kwargs["deep_cache_interval"] = deep_cache
     else:
         raise SystemExit(f"unknown family {name}")
 
@@ -129,13 +161,17 @@ def bench(name: str, deep_cache: int | None = None):
                 lambda k: model.text_encoder.init(k, jnp.bfloat16), key
             ),
         }
-        dev = jax.devices()[0]
+        # staged-offload runs (flux) start everything on the host; generate
+        # moves each submodule on-device for its stage
+        dev = (jax.devices("cpu")[0] if kwargs.get("do_offloading")
+               else jax.devices()[0])
+        nf4_keys = {
+            "flux": ["qkv", ".proj", "linear1", "linear2",
+                     "img_mlp", "txt_mlp", "img_attn", "txt_attn"],
+        }.get(base, ["attn", "c_fc1", "c_fc2", "c_proj", "linear_1", "linear_2"])
         model.params = {
             "denoiser": jax.device_put(
-                quantize_params_zeros(
-                    abstract["denoiser"],
-                    ["attn", "c_fc1", "c_fc2", "c_proj", "linear_1", "linear_2"],
-                ),
+                quantize_params_zeros(abstract["denoiser"], nf4_keys),
                 dev,
             ),
             "vae": jax.device_put(
