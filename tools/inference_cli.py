@@ -110,12 +110,18 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
               "shallow cached passes between (DeepCache / delta caching)")
 @click.option("--cfg-rescale", type=float, default=None,
               help="SDXL only: std-matching CFG rescale blend in [0, 1]")
+@click.option("--do-offloading", is_flag=True, default=False,
+              help="stage submodules on/off device per generate() phase "
+              "(text encode / denoise / decode) — lets models whose summed "
+              "weights exceed HBM run, e.g. NF4 Flux on one 16 GB chip")
 def main(
     checkpoint_path, family, tokenizer_path, prompt, negative_prompt, width, height,
     batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
-    deep_cache_interval, cfg_rescale,
+    deep_cache_interval, cfg_rescale, do_offloading,
 ):
     extra = {}
+    if do_offloading:
+        extra["do_offloading"] = True
     if deep_cache_interval is not None:
         if family not in ("sdxl", "lumina2", "auraflow", "cogview4", "flux"):
             # decidable before the checkpoint load
