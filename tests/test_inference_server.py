@@ -158,7 +158,7 @@ def test_t2imodel_flag_validation(tmp_path):
         "seed: 0\nnum_train_epochs: 1\n"
     )
     with pytest.raises(ValueError, match="unsupported server family"):
-        T2IModel(str(cfg), None, None, family="wan")  # video family: no image server
+        T2IModel(str(cfg), None, None, family="sd3")  # not a family here
 
 
 def test_family_only_generation_flags():
@@ -243,3 +243,64 @@ def test_family_only_generation_flags():
         GenerationParams(prompt="x", width=64, height=64, renorm_cfg=-0.1)
     with pytest.raises(ValueError):
         GenerationParams(prompt="x", width=64, height=64, cfg_trunc_ratio=1.5)
+    with pytest.raises(ValueError):
+        GenerationParams(prompt="x", width=64, height=64, frames=0)
+
+    # frames reaches wan's generate (defaulted to 16); image families refuse
+    with pytest.raises(ValueError, match="Wan-only"):
+        sdxl_like.generate_batch(
+            [GenerationParams(prompt="x", width=64, height=64, frames=8)]
+        )
+    wan_like = T2IModel.__new__(T2IModel)
+    wan_like._family = "wan"
+    wan_like._extra = {}
+    wan_like._lock = threading.Lock()
+    wan_calls = {}
+
+    class _W:
+        def generate(self, **kw):
+            wan_calls.update(kw)
+            return [[None]]
+
+    wan_like.model = _W()
+    wan_like.generate_batch([GenerationParams(prompt="x", width=64, height=64)])
+    assert wan_calls["frames"] == 16
+    wan_like.generate_batch(
+        [GenerationParams(prompt="x", width=64, height=64, frames=8)]
+    )
+    assert wan_calls["frames"] == 8
+    # frames is part of the compiled-program key
+    e = GenerationParams(prompt="e", width=64, height=64, frames=8)
+    f = GenerationParams(prompt="f", width=64, height=64, frames=16)
+    assert batch_key(e) != batch_key(f)
+
+
+def test_http_video_response():
+    """A wan-family result (list of frames) comes back as video/mp4."""
+
+    class VideoStub(StubModel):
+        def generate_batch(self, batch):
+            self.batches.append(list(batch))
+            return [
+                [Image.new("RGB", (p.width, p.height)) for _ in range(4)]
+                for p in batch
+            ]
+
+    batcher = MicroBatcher(VideoStub(), max_batch=2, window_ms=5)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        payload = json.dumps(
+            {"prompt": "hi", "width": 64, "height": 64, "frames": 4, "fps": 8}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "video/mp4"
+            assert len(r.read()) > 0
+    finally:
+        server.shutdown()

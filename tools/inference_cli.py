@@ -75,6 +75,21 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
         model = FluxModel.from_checkpoint(
             config, t5_tokenizer=tokenizer, clip_tokenizer=clip_tok
         )
+    elif family == "wan":
+        from vision_ft_tpu.models.wan import Wan22, WanConfig
+
+        # Wan splits its checkpoint into three safetensors files; a single
+        # --checkpoint-path names the denoiser and the siblings resolve by
+        # the reference's file layout (wan/config.py)
+        import os
+
+        base = _os.path.dirname(checkpoint_path)
+        config = WanConfig(
+            denoiser_path=checkpoint_path,
+            text_encoder_path=os.path.join(base, "text_encoder.safetensors"),
+            vae_path=os.path.join(base, "vae.safetensors"),
+        )
+        model = Wan22.from_checkpoint(config, tokenizer=tokenizer)
     else:
         raise click.ClickException(f"Unknown family: {family}")
 
@@ -93,7 +108,7 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 
 @click.command()
 @click.option("--checkpoint-path", type=str, required=True)
-@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]), default="auraflow")
+@click.option("--family", type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux", "wan"]), default="auraflow")
 @click.option("--tokenizer-path", type=str, default=None)
 @click.option("--prompt", type=str, default="photo of a cat")
 @click.option("--negative-prompt", type=str, default="blurry, ugly, low quality")
@@ -106,8 +121,12 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 @click.option("--save-path", type=str, default="output.webp")
 @click.option("--quant-type", type=str, default=None)
 @click.option("--deep-cache-interval", type=int, default=None,
-              help="all image families: full denoiser pass every N steps, "
+              help="all families: full denoiser pass every N steps, "
               "shallow cached passes between (DeepCache / delta caching)")
+@click.option("--frames", type=int, default=16,
+              help="wan only: number of video frames")
+@click.option("--fps", type=int, default=24,
+              help="wan only: mp4 encode frame rate")
 @click.option("--cfg-rescale", type=float, default=None,
               help="SDXL only: std-matching CFG rescale blend in [0, 1]")
 @click.option("--do-offloading", is_flag=True, default=False,
@@ -117,21 +136,21 @@ def _build_model(family: str, checkpoint_path: str, tokenizer, quant_type):
 def main(
     checkpoint_path, family, tokenizer_path, prompt, negative_prompt, width, height,
     batch_size, num_inference_steps, cfg_scale, seed, save_path, quant_type,
-    deep_cache_interval, cfg_rescale, do_offloading,
+    deep_cache_interval, frames, fps, cfg_rescale, do_offloading,
 ):
     extra = {}
     if do_offloading:
         extra["do_offloading"] = True
     if deep_cache_interval is not None:
-        if family not in ("sdxl", "lumina2", "auraflow", "cogview4", "flux"):
-            # decidable before the checkpoint load
-            raise click.UsageError(
-                "--deep-cache-interval needs an image family (not wan)")
         extra["deep_cache_interval"] = deep_cache_interval
     if cfg_rescale is not None:
         if family != "sdxl":
             raise click.UsageError("--cfg-rescale is SDXL-only")
         extra["cfg_rescale"] = cfg_rescale
+    if family == "wan":
+        extra["frames"] = frames
+        if save_path == "output.webp":  # still the image default
+            save_path = "output.mp4"
 
     tokenizer = _load_tokenizer(family, tokenizer_path)
     click.echo("Loading model...")
@@ -150,7 +169,12 @@ def main(
     )
     for i, image in enumerate(images):
         path = save_path if len(images) == 1 else save_path.replace(".", f"_{i}.", 1)
-        image.save(path)
+        if isinstance(image, list):  # wan: one video = a list of frames
+            from vision_ft_tpu.utils.video import write_images_as_video
+
+            write_images_as_video(image, path, fps=fps)
+        else:
+            image.save(path)
         click.echo(f"Saved {path}")
 
 

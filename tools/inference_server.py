@@ -15,6 +15,9 @@ needs) arriving within a short window into one batched generate() call,
 so N concurrent users cost ~one denoise pass instead of N. This is the
 "batched inference server" of tracked config #5 (BASELINE.json).
 
+The wan video family is served too (beyond the reference's server):
+requests carry ``frames``/``fps`` and the response is video/mp4.
+
   python tools/inference_server.py -C configs/auraflow.yml \
       --tokenizer-path /path/to/tokenizer --port 8123 --max-batch 4
 """
@@ -54,6 +57,8 @@ class GenerationParams(BaseModel):
     renorm_cfg: float = 1.0  # Lumina2 only (norm-matching renorm CFG)
     cfg_trunc_ratio: float = 0.0  # Lumina2 only (skip CFG early in the schedule)
     distilled_guidance: float = 1.0  # Flux only (guidance-embedder scale)
+    frames: Optional[int] = None  # Wan only (video length; default 16)
+    fps: int = 24  # Wan only (mp4 encode rate; no effect on images)
     width: int = 768
     height: int = 1024
 
@@ -83,6 +88,13 @@ class GenerationParams(BaseModel):
     def check_distilled_nonnegative(cls, value):
         if value < 0.0:
             raise ValueError("distilled_guidance must be >= 0")
+        return value
+
+    @field_validator("frames", "fps")
+    @classmethod
+    def check_positive(cls, value):
+        if value is not None and value < 1:
+            raise ValueError("frames / fps must be >= 1")
         return value
 
 
@@ -162,6 +174,17 @@ class T2IModel:
             self.model = FluxModel.from_checkpoint(
                 model_config, t5_tokenizer=tokenizer, clip_tokenizer=clip_tok
             )
+        elif family == "wan":
+            import functools
+
+            from vision_ft_tpu.models.wan import Wan22, WanConfig
+            from vision_ft_tpu.models.wan import util as wan_util
+
+            convert_from_original_key = functools.partial(
+                wan_util.convert_from_original_key, module="denoiser"
+            )
+            model_config = WanConfig.model_validate(config.model)
+            self.model = Wan22.from_checkpoint(model_config, tokenizer=tokenizer)
         else:
             raise ValueError(f"unsupported server family: {family!r}")
         self._family = family
@@ -204,6 +227,10 @@ class T2IModel:
                 extra["distilled_guidance_scale"] = head.distilled_guidance
             elif head.distilled_guidance != 1.0:
                 raise ValueError("distilled_guidance is Flux-only")
+            if self._family == "wan":
+                extra["frames"] = head.frames if head.frames is not None else 16
+            elif head.frames is not None:
+                raise ValueError("frames is Wan-only (video)")
             return self.model.generate(
                 prompt=[p.prompt for p in batch],
                 negative_prompt=[p.negative_prompt for p in batch],
@@ -222,7 +249,7 @@ def batch_key(params: GenerationParams) -> tuple:
         params.width, params.height, params.inference_steps,
         params.cfg_scale, params.cfg_rescale,
         params.renorm_cfg, params.cfg_trunc_ratio,
-        params.distilled_guidance,
+        params.distilled_guidance, params.frames,
     )
 
 
@@ -318,11 +345,25 @@ def make_handler(batcher: MicroBatcher):
             except Exception as e:
                 self.send_error(500, str(e))
                 return
-            buffered = BytesIO()
-            image.save(buffered, format="WEBP")
-            data = buffered.getvalue()
+            if isinstance(image, list):  # wan: a video = list of frames
+                import os
+
+                from vision_ft_tpu.utils.video import write_images_as_temp_video
+
+                path = write_images_as_temp_video(image, fps=params.fps)
+                try:
+                    with open(path, "rb") as f:
+                        data = f.read()
+                finally:
+                    os.unlink(path)
+                ctype = "video/mp4"
+            else:
+                buffered = BytesIO()
+                image.save(buffered, format="WEBP")
+                data = buffered.getvalue()
+                ctype = "image/webp"
             self.send_response(200)
-            self.send_header("Content-Type", "image/webp")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -347,7 +388,8 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--peft_path", type=str, default=None)
 @click.option("--tokenizer-path", type=str, default=None)
 @click.option("--family",
-              type=click.Choice(["auraflow", "sdxl", "lumina2", "cogview4", "flux"]),
+              type=click.Choice(
+                  ["auraflow", "sdxl", "lumina2", "cogview4", "flux", "wan"]),
               default="auraflow")
 @click.option("--deep-cache-interval", type=int, default=None,
               help="DeepCache full-pass interval (all served families)")
