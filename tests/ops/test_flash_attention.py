@@ -141,6 +141,50 @@ def test_bshd_forward_and_grad_match_xla(b, s, sk, h, d, causal):
         )
 
 
+@pytest.mark.parametrize(
+    "b,s,sk,h,d,causal",
+    [
+        (2, 256, 256, 4, 64, False),   # head pairs
+        (1, 200, 300, 2, 64, False),   # non-block-multiple padding
+        (1, 200, 200, 2, 64, True),    # causal + padding (equal lengths:
+                                       # the kernel's causal rule is
+                                       # top-left aligned, same as fwd)
+        (1, 128, 128, 2, 256, False),  # d=256 (the shape that OOM'd fused
+                                       # scoped VMEM on-chip at seq 4608)
+    ],
+)
+def test_bshd_bwd_split_branch_matches_xla(monkeypatch, b, s, sk, h, d, causal):
+    """The BSHD backward splits into dkv + separate-dq kernels when the
+    fused kernel's persistent f32 dq block would overflow scoped VMEM
+    (AuraFlow d=256 @ 4608 tokens: 20.6 MB > 16 MB, caught on-chip).
+    Force the split branch and pin grad equality."""
+    from vision_ft_tpu.ops.pallas import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_FUSE_DQ_MAX", 0)
+    inner = h * d
+    scale = d**-0.5
+    q = _rand(0, (b, s, inner))
+    k = _rand(1, (b, sk, inner))
+    v = _rand(2, (b, sk, inner))
+
+    def loss_p(q, k, v):
+        o = fa.flash_attention_bshd(
+            q, k, v, h, scale=scale, is_causal=causal, interpret=True
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(_ref_bshd(q, k, v, h, scale, causal)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4,
+            err_msg=f"d{name} mismatch (split bwd)",
+        )
+
+
 def test_bshd_group_support_matrix():
     from vision_ft_tpu.ops.pallas.flash_attention import bshd_group
 

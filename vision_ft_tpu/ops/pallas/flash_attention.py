@@ -25,6 +25,7 @@ K/V are block-streamed so a ring/context-parallel axis can be added later
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -326,15 +327,24 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual,
 _FUSE_DQ_MAX = 2_621_440  # bytes: sq_pad * d_pad * 4
 
 
+def _bwd_block_cap() -> int:
+    """Backward block cap, scaled to the scoped-VMEM budget.
+
+    Default 512 fits the stock 16 MB scoped-VMEM stack (~14 B of f32/bf16
+    temporaries per score element per in-flight body: s, p, dp, ds).
+    Running with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=N and
+    VFT_SCOPED_VMEM_KIB=N lets the cap grow with the actual budget
+    (an A/B lever: bigger k-blocks mean fewer full passes over Q/dO)."""
+    kib = int(os.environ.get("VFT_SCOPED_VMEM_KIB", "16384"))
+    return 512 * max(1, kib // 16384)
+
+
 def _bwd_blocks(block_q, block_k, sq_pad, sk_pad):
-    """Backward block sizes: cap at 512 where the padded sequence stays
-    divisible. The bwd kernels hold ~14 B of f32/bf16 temporaries per
-    score element per in-flight loop body (s, p, dp, ds); 512x1024 blocks
-    with the 2x unroll overflow the 16 MB scoped-VMEM stack."""
-    if block_q > 512 and sq_pad % 512 == 0:
-        block_q = 512
-    if block_k > 512 and sk_pad % 512 == 0:
-        block_k = 512
+    cap = _bwd_block_cap()
+    if block_q > cap and sq_pad % cap == 0:
+        block_q = cap
+    if block_k > cap and sk_pad % cap == 0:
+        block_k = cap
     return block_q, block_k
 
 
@@ -348,7 +358,8 @@ def _bwd_unroll(num_blocks: int, block_q: int, block_k: int, d: int) -> int:
     The block slices scale with the lane width d: at d=256 the unrolled
     dkv body measured 16.05 MB of 16 MB (compile OOM), at d<=128 it
     fits."""
-    fits = block_q * block_k * max(1, d // 128) <= _UNROLL_MAX_BLOCK
+    budget = _UNROLL_MAX_BLOCK * (_bwd_block_cap() // 512)
+    fits = block_q * block_k * max(1, d // 128) <= budget
     return 2 if num_blocks % 2 == 0 and num_blocks >= 2 and fits else 1
 
 
@@ -751,27 +762,37 @@ def flash_attention_bshd(
     return o[:, :sq, :]
 
 
-def _bwd_dkvq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, dq_ref, *, scale, causal, sq_actual,
-                          sq_pad, sk_actual, block_q, group, d):
-    """One-pass backward: dk/dv for this k block, PLUS this block's dq
-    contributions accumulated into a grid-persistent f32 output.
+def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
+                          sq_pad, sk_actual, block_q, group, d, fuse_dq):
+    """Backward dk/dv for this k block; with ``fuse_dq`` also this block's
+    dq contributions accumulated into a grid-persistent f32 output.
 
-    The separate dq kernel recomputed the same s = QK^T and dp = dO V^T
+    The separate dq kernel recomputes the same s = QK^T and dp = dO V^T
     blocks the dkv kernel already materializes — 7 S^2 d matmuls across
     the two passes where 5 suffice. The TPU grid runs its innermost dim
     (ki) sequentially, and dq_ref's index map is constant in ki, so the
     block lives in VMEM across all k blocks and flushes once per (b, g):
-    a cross-grid-step accumulator (zeroed at ki == 0)."""
+    a cross-grid-step accumulator (zeroed at ki == 0). The fused form
+    only fits scoped VMEM when the persistent sq_pad x (G*d) f32 block is
+    small enough (_FUSE_DQ_MAX); past that (e.g. AuraFlow's d=256 heads
+    at 4608 tokens: 20.6 MB of kernel stack, on-chip compile OOM) the
+    two-pass split runs instead."""
+    if fuse_dq:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dq_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
     k_all = k_ref[0]  # (BK, G*d)
     v_all = v_ref[0]
     block_k = k_all.shape[0]
     ki = pl.program_id(2)
     num_qb = sq_pad // block_q
 
-    @pl.when(ki == 0)
-    def _zero_dq():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
+    if fuse_dq:
+        @pl.when(ki == 0)
+        def _zero_dq():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
 
     def body(qb, carry):
         dks, dvs = carry
@@ -806,19 +827,21 @@ def _bwd_dkvq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             new_dk.append(dks[g] + jax.lax.dot_general(
                 ds, qg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             ))
-            dqg = jax.lax.dot_general(
-                ds, kg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            qs = pl.ds(qb * block_q, block_q)
-            dq_ref[0, qs, g * d:(g + 1) * d] = (
-                dq_ref[0, qs, g * d:(g + 1) * d] + dqg
-            )
+            if fuse_dq:
+                dqg = jax.lax.dot_general(
+                    ds, kg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                qs = pl.ds(qb * block_q, block_q)
+                dq_ref[0, qs, g * d:(g + 1) * d] = (
+                    dq_ref[0, qs, g * d:(g + 1) * d] + dqg
+                )
         return tuple(new_dk), tuple(new_dv)
 
     unroll = _bwd_unroll(num_qb, block_q, block_k, group * d)
     # the grid-persistent f32 dq block shares scoped VMEM with the loop
     # temporaries — give up the unroll rather than overflow when large
-    if sq_pad * group * d * 4 > 4 * 1024 * 1024:
+    if fuse_dq and sq_pad * group * d * 4 > 4 * 1024 * 1024:
         unroll = 1
 
     def unrolled(i, carry):
@@ -835,6 +858,61 @@ def _bwd_dkvq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dq_ref, *, scale, causal, sk_actual, sk_pad,
+                        block_k, group, d):
+    """Separate dq pass for the heads-packed layout (one q block per grid
+    step, loop over k blocks) — used when the fused kernel's persistent
+    dq accumulator would overflow scoped VMEM."""
+    q = q_ref[0]  # (BQ, G*d)
+    do = do_ref[0]
+    block_q = q.shape[0]
+    qi = pl.program_id(2)
+    num_kb = sk_pad // block_k
+
+    def step(kb, dqs):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        new_dqs = []
+        for g in range(group):
+            qg = q[:, g * d:(g + 1) * d]
+            kg = k_blk[:, g * d:(g + 1) * d]
+            vg = v_blk[:, g * d:(g + 1) * d]
+            dog = do[:, g * d:(g + 1) * d]
+            lse_g = lse_ref[0, 0, 8 * g]
+            delta_g = delta_ref[0, 0, 8 * g]
+            s = jax.lax.dot_general(
+                qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+            if causal:
+                q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0
+                )
+                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            p = jnp.exp(s - lse_g[:, None])
+            dp = jax.lax.dot_general(
+                dog, vg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (p * (dp - delta_g[:, None]) * scale).astype(qg.dtype)
+            new_dqs.append(dqs[g] + jax.lax.dot_general(
+                ds, kg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+        return tuple(new_dqs)
+
+    unroll = _bwd_unroll(num_kb, block_q, block_k, group * d)
+
+    def unrolled(i, dqs):
+        if unroll == 2:
+            return step(2 * i + 1, step(2 * i, dqs))
+        return step(i, dqs)
+
+    init = tuple(jnp.zeros((block_q, d), jnp.float32) for _ in range(group))
+    dqs = jax.lax.fori_loop(0, num_kb // unroll, unrolled, init)
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+
+
 def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
                     block_q, block_k, group, d, interpret):
     b, sq_pad, inner = q.shape
@@ -842,6 +920,7 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
     gd = group * d
     hg = inner // gd
+    fuse_dq = sq_pad * gd * 4 <= _FUSE_DQ_MAX
 
     # per-head delta rows in the lse layout: (B, HG, G*8, SQ)
     delta = jnp.sum(
@@ -852,36 +931,68 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     ).transpose(0, 2, 3, 1)  # (B, HG, G, SQ)
     delta = jnp.repeat(delta, 8, axis=2)  # (B, HG, G*8, SQ)
 
-    dk, dv, dq = pl.pallas_call(
+    dkv_specs = [
+        pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
+        pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+        pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+        pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
+        pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
+    ]
+    dkv_out_specs = [
+        pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+        pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((b, sk_pad, inner), k.dtype),
+        jax.ShapeDtypeStruct((b, sk_pad, inner), v.dtype),
+    ]
+    if fuse_dq:
+        # constant in ki: the f32 dq accumulator persists in VMEM
+        # across the sequential k-block steps (see kernel docstring)
+        dkv_out_specs.append(
+            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g))
+        )
+        dkv_out_shape.append(
+            jax.ShapeDtypeStruct((b, sq_pad, inner), jnp.float32)
+        )
+    out = pl.pallas_call(
         functools.partial(
             _bwd_dkvq_kernel_bshd, scale=scale, causal=causal,
             sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
-            block_q=block_q, group=group, d=d,
+            block_q=block_q, group=group, d=d, fuse_dq=fuse_dq,
         ),
         grid=(b, hg, sk_pad // block_k),
-        in_specs=[
-            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
-            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
-            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
-            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
-            pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, group * 8, sq_pad), lambda b, g, ki: (b, g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
-            pl.BlockSpec((1, block_k, gd), lambda b, g, ki: (b, ki, g)),
-            # constant in ki: the f32 dq accumulator persists in VMEM
-            # across the sequential k-block steps (see kernel docstring)
-            pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, sk_pad, inner), k.dtype),
-            jax.ShapeDtypeStruct((b, sk_pad, inner), v.dtype),
-            jax.ShapeDtypeStruct((b, sq_pad, inner), jnp.float32),
-        ],
+        in_specs=dkv_specs,
+        out_specs=dkv_out_specs,
+        out_shape=dkv_out_shape,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
-    return dq.astype(q.dtype), dk, dv
+    if fuse_dq:
+        dk, dv, dq = out
+        return dq.astype(q.dtype), dk, dv
+
+    dk, dv = out
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel_bshd, scale=scale, causal=causal,
+            sk_actual=sk_actual, sk_pad=sk_pad, block_k=block_k,
+            group=group, d=d,
+        ),
+        grid=(b, hg, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, sk_pad, gd), lambda b, g, qi: (b, 0, g)),
+            pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
+            pl.BlockSpec((1, 1, group * 8, block_q), lambda b, g, qi: (b, g, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, gd), lambda b, g, qi: (b, qi, g)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, inner), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
