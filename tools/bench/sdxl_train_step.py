@@ -61,6 +61,14 @@ def main() -> None:
     config = DenoiserConfig()
     denoiser = Denoiser(config)
     denoiser.set_gradient_checkpointing(True)
+    if nf4:
+        # memory-lean remat (same posture as the 6.8B AuraFlow NF4 config):
+        # the dequantized bf16 weight temps XLA materializes alongside the
+        # packed base push peak HBM past 16 GB with the speed-side saves on
+        from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
+
+        set_remat_save_qkv(False)
+        set_remat_save_ff(False)
 
     h = w = res // 8
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), jax.random.PRNGKey(0))

@@ -50,29 +50,30 @@ def main() -> None:
     from vision_ft_tpu.models.sdxl.config import SDXLConfig
     from vision_ft_tpu.models.sdxl.pipeline import SDXLModel
 
+    import numpy as np
+
     class _HashTok:
-        """Deterministic mock tokenizer (same pattern as the test suite) —
-        throughput is independent of real vocab."""
+        """Deterministic mock CLIP-protocol tokenizer (same pattern as the
+        test suite: returns the padded id array directly) — throughput is
+        independent of real vocab."""
 
         bos_token_id, eos_token_id, pad_token_id = 49406, 49407, 0
         model_max_length = 77
 
-        def __call__(self, texts, **kw):
+        def _ids(self, texts, n):
             if isinstance(texts, str):
                 texts = [texts]
-            n = kw.get("max_length", 77)
-            ids = [
-                [self.bos_token_id]
-                + [(abs(hash(t)) + i) % 49000 + 1 for i in range(n - 2)]
-                + [self.eos_token_id]
-                for t in texts
-            ]
-            import numpy as np
+            return np.asarray(
+                [
+                    [self.bos_token_id]
+                    + [(abs(hash(t)) + i) % 49000 + 1 for i in range(n - 2)]
+                    + [self.eos_token_id]
+                    for t in texts
+                ]
+            )
 
-            class R(dict):
-                __getattr__ = dict.__getitem__
-
-            return R(input_ids=np.asarray(ids), attention_mask=np.ones((len(ids), n), np.int64))
+        def __call__(self, texts, **kw):
+            return self._ids(texts, kw.get("max_length", 77))
 
     if family == "sdxl":
         config = SDXLConfig(checkpoint_path="/nonexistent.safetensors", dtype="bfloat16")
@@ -85,6 +86,17 @@ def main() -> None:
             """HF-call-compatible wrapper (ids+mask dict) for Gemma-2."""
 
             bos_token_id, eos_token_id, pad_token_id = 1, 2, 0
+
+            def __call__(self, texts, **kw):
+                ids = self._ids(texts, kw.get("max_length", 77))
+
+                class R(dict):
+                    __getattr__ = dict.__getitem__
+
+                return R(
+                    input_ids=ids,
+                    attention_mask=np.ones(ids.shape, np.int64),
+                )
 
         model = Lumina2(
             Lumina2Config(checkpoint_path="/nonexistent", dtype="bfloat16"),
