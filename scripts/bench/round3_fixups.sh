@@ -15,4 +15,7 @@ run() {
 run python tools/bench/family_train_step.py auraflow
 run python tools/bench/sdxl_train_step.py --nf4
 run python tools/bench/server_throughput.py
+# re-run on an idle host: the first capture raced a CPU-heavy verify
+# drive for the single host core, which skews the host-side collation
+run python tools/bench/server_throughput.py --family lumina2
 echo "fixups done $(date -u)" | tee -a "$LOG"
