@@ -843,6 +843,11 @@ def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
     # temporaries — give up the unroll rather than overflow when large
     if fuse_dq and sq_pad * group * d * 4 > 4 * 1024 * 1024:
         unroll = 1
+    # wide head groups keep full-sequence q/dO windows resident whose size
+    # scales with G*d; doubling the loop temporaries on top measured past
+    # the scoped-VMEM stack at d=256 — keep the window, drop the unroll
+    if group * d >= 256:
+        unroll = 1
 
     def unrolled(i, carry):
         if unroll == 2:
@@ -902,6 +907,8 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return tuple(new_dqs)
 
     unroll = _bwd_unroll(num_kb, block_q, block_k, group * d)
+    if group * d >= 256:  # same resident-window pressure as the dkv kernel
+        unroll = 1
 
     def unrolled(i, dqs):
         if unroll == 2:
@@ -919,6 +926,12 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     sk_pad = k.shape[1]
     block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
     gd = group * d
+    # Wide head groups (d=256, AuraFlow) double every (BQ, BK)-shaped loop
+    # temporary's lane footprint; the dkv kernel's stack measured 16.34 MB
+    # of the 16 MB scoped-VMEM budget at 512x512 blocks. Halve the k block
+    # so the s/p/dp/ds temporaries fit alongside the resident q/dO windows.
+    if gd >= 256 and block_k > 256 and sk_pad % 256 == 0:
+        block_k = 256
     hg = inner // gd
     fuse_dq = sq_pad * gd * 4 <= _FUSE_DQ_MAX
 
