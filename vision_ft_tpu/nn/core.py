@@ -314,6 +314,26 @@ class Linear(Module):
                 x.dtype
             )
         else:
+            if isinstance(w, dict) and "packed" in w and jax.default_backend() == "tpu":
+                # bnb 4-bit: the fused Pallas matmul keeps the weight
+                # packed in HBM and dequantizes tiles in VMEM — the XLA
+                # dequant below must materialize the full weight plus an
+                # f32 unpack stack as HBM temps per matmul (enough live
+                # temps to OOM the SDXL/AuraFlow NF4 train steps)
+                from ..ops.pallas.nf4_matmul import nf4_matmul, supports
+
+                n, k = self.out_features, self.in_features
+                numel = n * k
+                blocksize = numel // w["absmax"].shape[0]
+                m = x.size // x.shape[-1]
+                if supports(m, k, n, blocksize):
+                    y = nf4_matmul(x, w["packed"], w["code"], w["absmax"], (n, k), blocksize)
+                    if "bias" in params:
+                        y = y + params["bias"].astype(y.dtype)
+                    delta = _linear_adapter_delta(params, x)
+                    if delta is not None:
+                        y = y + delta
+                    return y
             if isinstance(w, dict) or w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
                 # quantized weight subtree (modules/quant): dequantize on
                 # the fly; XLA fuses the gather+scale into this matmul
