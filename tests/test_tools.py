@@ -134,6 +134,49 @@ def test_micro_batcher_collates_compatible_requests():
     assert results[9].size == (128, 64)
 
 
+def test_micro_batcher_pads_to_power_of_two_bucket():
+    """An odd-sized group is padded to the next power-of-2 bucket so the
+    server only ever compiles log2(max_batch)+1 batch shapes; callers
+    still get exactly their own images back."""
+    from tools.inference_server import GenerationParams, MicroBatcher
+
+    model = _StubModel(delay_s=0.05)
+    batcher = MicroBatcher(model, max_batch=8, window_ms=150.0)
+
+    same = GenerationParams(prompt="a", width=64, height=64, inference_steps=2)
+    results = {}
+
+    def worker(i):
+        results[i] = batcher.submit(same)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+
+    assert len(results) == 3
+    assert all(img.size == (64, 64) for img in results.values())
+    # the model saw the padded bucket (3 -> 4), not the raw group size
+    assert sorted(len(c) for c in model.calls) == [4]
+
+    # opting out keeps exact group sizes
+    model2 = _StubModel(delay_s=0.05)
+    batcher2 = MicroBatcher(model2, max_batch=8, window_ms=150.0,
+                            pad_to_bucket=False)
+    results.clear()
+
+    def worker2(i):
+        results[i] = batcher2.submit(same)
+
+    threads = [threading.Thread(target=worker2, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert sorted(len(c) for c in model2.calls) == [3]
+
+
 def _cpu_env():
     import os
 

@@ -273,10 +273,16 @@ class MicroBatcher:
     its image is ready.
     """
 
-    def __init__(self, model, max_batch: int = 4, window_ms: float = 25.0):
+    def __init__(self, model, max_batch: int = 4, window_ms: float = 25.0,
+                 pad_to_bucket: bool = True):
         self.model = model
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        # every distinct batch size compiles its own XLA program for each
+        # pipeline stage; padding groups to power-of-2 buckets bounds the
+        # compile set to log2(max_batch)+1 shapes (<=2x padded compute in
+        # the worst case, amortized to ~none once traffic fills buckets)
+        self.pad_to_bucket = pad_to_bucket
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -316,7 +322,13 @@ class MicroBatcher:
         while True:
             group = self._take_group()
             try:
-                images = self.model.generate_batch([p.params for p in group])
+                batch = [p.params for p in group]
+                if self.pad_to_bucket:
+                    bucket = 1
+                    while bucket < len(batch):
+                        bucket *= 2
+                    batch = batch + [batch[-1]] * (bucket - len(batch))
+                images = self.model.generate_batch(batch)
                 for p, image in zip(group, images):
                     p.image = image
             except Exception as e:
@@ -396,15 +408,19 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--port", type=int, default=8123)
 @click.option("--max-batch", type=int, default=4)
 @click.option("--batch-window-ms", type=float, default=25.0)
+@click.option("--no-batch-buckets", is_flag=True, default=False,
+              help="run each group at its exact size instead of padding to "
+                   "power-of-2 buckets (more compiled shapes)")
 def main(
     config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str],
     family: str, deep_cache_interval: Optional[int],
-    port: int, max_batch: int, batch_window_ms: float,
+    port: int, max_batch: int, batch_window_ms: float, no_batch_buckets: bool,
 ):
     print("Loading model...")
     model = T2IModel(config_path, peft_path, tokenizer_path, family=family,
                      deep_cache_interval=deep_cache_interval)
-    batcher = MicroBatcher(model, max_batch=max_batch, window_ms=batch_window_ms)
+    batcher = MicroBatcher(model, max_batch=max_batch, window_ms=batch_window_ms,
+                           pad_to_bucket=not no_batch_buckets)
     print(f"Serving on :{port} (POST /predict, micro-batch <= {max_batch})")
     ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher)).serve_forever()
 
