@@ -85,6 +85,12 @@ def bench(name: str, deep_cache: int | None = None):
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
+        if name.endswith("_nf4"):
+            # UMT5-XXL (4.7B bf16 = 9.4 GB) resident next to the NF4
+            # denoiser + 1024px CFG activations exceeded HBM on-chip
+            # (RESOURCE_EXHAUSTED, r3): stage encode/denoise/decode like
+            # flux_nf4 does
+            kwargs["do_offloading"] = True
         if deep_cache:
             kwargs["deep_cache_interval"] = deep_cache
     elif base == "lumina2":

@@ -185,6 +185,14 @@ def _fwd_impl(x2d, packed2d, absmax2d, code2d, *, blocksize, interpret):
 def _dx_impl(dy2d, packed2d, absmax2d, code2d, *, k, blocksize, dtype, interpret):
     m, n = dy2d.shape
     bm, bn, bkh = _pick_blocks(m, k, n)
+    # The dx kernel carries TWO f32 (bm, bkh) accumulators plus the two
+    # bf16 output windows — at bkh=512 that is 12 MB before the dequant
+    # temporaries and measured 18.25 MB against the 16 MB scoped-VMEM
+    # stack on the SDXL/AuraFlow NF4 train steps. Halve the k window
+    # (scratch+outputs scale with bkh; the dequant work per K element is
+    # unchanged, it just splits across twice the grid steps).
+    while bkh > 256 and (k // 2) % (bkh // 2) == 0:
+        bkh //= 2
     half = blocksize // 2
     dy = _pad_rows(dy2d, bm)
     mp = dy.shape[0]
