@@ -59,7 +59,9 @@ def test_concurrent_compatible_requests_coalesce():
 
 def test_incompatible_shapes_never_share_a_batch():
     model = StubModel()
-    batcher = MicroBatcher(model, max_batch=8, window_ms=30)
+    # pad_to_bucket off: this test pins the batch-key invariant (padding
+    # duplicates the tail request, covered by test_tools.py)
+    batcher = MicroBatcher(model, max_batch=8, window_ms=30, pad_to_bucket=False)
     params = [
         GenerationParams(prompt=f"p{i}", width=64 if i % 2 else 128, height=64)
         for i in range(6)

@@ -61,6 +61,7 @@ class GenerationParams(BaseModel):
     fps: int = 24  # Wan only (mp4 encode rate; no effect on images)
     width: int = 768
     height: int = 1024
+    seed: Optional[int] = None  # deterministic generation (all families)
 
     @field_validator("width", "height")
     @classmethod
@@ -231,6 +232,9 @@ class T2IModel:
                 extra["frames"] = head.frames if head.frames is not None else 16
             elif head.frames is not None:
                 raise ValueError("frames is Wan-only (video)")
+            if head.seed is not None:
+                # seed rides batch_key, so the whole group shares it
+                extra["seed"] = head.seed
             return self.model.generate(
                 prompt=[p.prompt for p in batch],
                 negative_prompt=[p.negative_prompt for p in batch],
@@ -249,7 +253,7 @@ def batch_key(params: GenerationParams) -> tuple:
         params.width, params.height, params.inference_steps,
         params.cfg_scale, params.cfg_rescale,
         params.renorm_cfg, params.cfg_trunc_ratio,
-        params.distilled_guidance, params.frames,
+        params.distilled_guidance, params.frames, params.seed,
     )
 
 
@@ -303,6 +307,13 @@ class MicroBatcher:
             while not self._queue:
                 self._cv.wait()
             head = self._queue[0]
+            if head.params.seed is not None:
+                # seeded requests run solo: batch row i draws noise from
+                # seed+i, so sharing a batch would silently change the
+                # image a seed promises (continuous batching has per-slot
+                # seed vectors and no such restriction)
+                self._queue.remove(head)
+                return [head]
             key = batch_key(head.params)
             deadline = time.monotonic() + self.window_s
             while True:

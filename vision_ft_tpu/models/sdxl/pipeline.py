@@ -292,6 +292,73 @@ class SDXLModel:
             self, f"step_{do_cfg}", partial(self._denoise_step, do_cfg=do_cfg)
         )
 
+    # -- continuous-batching slot step ---------------------------------------------
+
+    def _slot_step(
+        self,
+        params,
+        latents,        # (S, h, w, c) — one row per serving slot
+        timestep,       # (S,) f32 — per-slot denoise position
+        sigma,          # (S,) f32
+        next_sigma,     # (S,) f32
+        embeddings,     # (2S, L, D) [positives; negatives]
+        pooled,         # (2S, P)
+        original_size,  # (2S, 2)
+        target_size,    # (2S, 2)
+        crop_coords,    # (2S, 2)
+        cfg_scale,      # (S,) f32 — per-request guidance
+        cfg_rescale,    # (S,) f32
+        step_seeds,     # (S,) i32 — per-slot ancestral noise seeds
+        active,         # (S,) bool — inactive rows keep their latents
+    ):
+        """One CFG Euler-ancestral step over a SLOT POOL: every per-request
+        scalar of :meth:`_denoise_step` is a per-slot vector, so requests at
+        DIFFERENT denoise steps (and with different guidance/step counts)
+        ride the same compiled program in one batch. This is the jit unit of
+        step-level continuous batching (vision_ft_tpu.serving.continuous):
+        requests join/leave the pool at step boundaries instead of waiting
+        for a window of identically-shaped requests. Noise rows draw from
+        per-slot seeds with the same PRNGKey construction as
+        ``_incremental_seed_randn_jit``, so a slot reproduces the plain
+        batch-1 ``generate()`` stream exactly."""
+        expand = lambda v: v[:, None, None, None]
+        noise = jax.vmap(
+            lambda s: jax.random.normal(
+                jax.random.PRNGKey(s), latents.shape[1:], jnp.float32
+            )
+        )(step_seeds)
+        model_input = jnp.concatenate([latents, latents])
+        sig2 = jnp.concatenate([sigma, sigma])
+        model_input = self.scheduler.scale_model_input(
+            model_input, expand(sig2)
+        ).astype(latents.dtype)
+        t2 = jnp.concatenate([timestep, timestep])
+        noise_pred = self.denoiser(
+            params, model_input, t2, embeddings, pooled,
+            original_size, target_size, crop_coords,
+        )
+        positive, negative = jnp.split(noise_pred, 2)
+        noise_pred = negative + expand(cfg_scale) * (positive - negative)
+        axes = tuple(range(1, noise_pred.ndim))
+        std_pos = jnp.std(positive, axis=axes, keepdims=True)
+        std_cfg = jnp.std(noise_pred, axis=axes, keepdims=True)
+        rescaled = noise_pred * (std_pos / jnp.maximum(std_cfg, 1e-6))
+        cr = expand(cfg_rescale)
+        noise_pred = cr * rescaled + (1.0 - cr) * noise_pred
+        new_latents = self.scheduler.ancestral_step(
+            latents.astype(jnp.float32),
+            noise_pred.astype(jnp.float32),
+            expand(sigma),
+            expand(next_sigma),
+            noise,
+        ).astype(latents.dtype)
+        return jnp.where(expand(active), new_latents, latents)
+
+    def _get_jit_slot_step(self):
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "slot_step", self._slot_step)
+
     def _denoise_loop(
         self, params, latents, timesteps, sigmas, next_sigmas, seeds,
         embeddings, pooled, original_size, target_size, crop_coords,
