@@ -194,3 +194,59 @@ def test_submit_after_close_raises(model):
     engine.close()
     with pytest.raises(RuntimeError, match="closed"):
         engine.submit(SlotRequest("x", num_inference_steps=2))
+
+
+def test_http_server_with_continuous_scheduler(model):
+    """The HTTP surface serves through the continuous scheduler: staggered
+    posts with different step counts all return images, and off-pool sizes
+    get a 500 with the pool-size message."""
+    import json
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from tools.inference_server import ContinuousScheduler, T2IModel, make_handler
+
+    wrapper = T2IModel.__new__(T2IModel)
+    wrapper._family = "sdxl"
+    wrapper.model = model
+    sched = ContinuousScheduler(wrapper, height=64, width=64, num_slots=2,
+                                max_steps=8)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(sched))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        responses = [None] * 3
+
+        def post(i):
+            payload = json.dumps({
+                "prompt": f"staggered {i}", "width": 64, "height": 64,
+                "inference_steps": 2 + i, "seed": i,
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                responses[i] = (r.status, r.headers["Content-Type"], r.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+            time.sleep(0.2)  # staggered arrival: joins mid-flight pools
+        for t in threads:
+            t.join(timeout=300)
+        for r in responses:
+            assert r is not None and r[0] == 200 and r[1] == "image/webp"
+            assert len(r[2]) > 0
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"prompt": "x", "width": 128, "height": 64}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc_info.value.code == 500
+    finally:
+        server.shutdown()
+        sched.close()

@@ -306,3 +306,33 @@ def test_http_video_response():
             assert len(r.read()) > 0
     finally:
         server.shutdown()
+
+
+def test_continuous_scheduler_validation():
+    """ContinuousScheduler rejects family-foreign params, off-pool sizes
+    and non-sdxl families before any device work."""
+    import pytest
+
+    from tools.inference_server import ContinuousScheduler, T2IModel
+
+    non_sdxl = T2IModel.__new__(T2IModel)
+    non_sdxl._family = "lumina2"
+    with pytest.raises(ValueError, match="currently serves sdxl"):
+        ContinuousScheduler(non_sdxl, height=64, width=64)
+
+    sched = ContinuousScheduler.__new__(ContinuousScheduler)
+    sched.height, sched.width = 64, 64
+    with pytest.raises(ValueError, match="fixed at 64x64"):
+        sched.submit(GenerationParams(prompt="x", width=128, height=64))
+    with pytest.raises(ValueError, match="Lumina2-only"):
+        sched.submit(
+            GenerationParams(prompt="x", width=64, height=64, renorm_cfg=2.0)
+        )
+    with pytest.raises(ValueError, match="Flux-only"):
+        sched.submit(
+            GenerationParams(
+                prompt="x", width=64, height=64, distilled_guidance=3.0
+            )
+        )
+    with pytest.raises(ValueError, match="Wan-only"):
+        sched.submit(GenerationParams(prompt="x", width=64, height=64, frames=8))

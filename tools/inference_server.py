@@ -15,6 +15,12 @@ needs) arriving within a short window into one batched generate() call,
 so N concurrent users cost ~one denoise pass instead of N. This is the
 "batched inference server" of tracked config #5 (BASELINE.json).
 
+``--scheduler continuous`` (sdxl) swaps in step-level continuous
+batching (vision_ft_tpu.serving): requests join a fixed pool of latent
+slots at denoise-step boundaries, so staggered traffic with mixed step
+counts / seeds / guidance scales shares the device with no collation
+window and no lockstep requirement.
+
 The wan video family is served too (beyond the reference's server):
 requests carry ``frames``/``fps`` and the response is video/mp4.
 
@@ -350,7 +356,70 @@ class MicroBatcher:
                     p.event.set()
 
 
-def make_handler(batcher: MicroBatcher):
+class ContinuousScheduler:
+    """Step-level continuous batching behind the server's submit() contract.
+
+    Wraps vision_ft_tpu.serving.ContinuousBatcher: requests join a fixed
+    pool of latent slots at denoise-step boundaries, so staggered traffic
+    with mixed step counts / seeds / guidance shares the device without
+    waiting for a collation window. The pool's latent shape is fixed at
+    construction (one compiled program); requests for another size are
+    rejected upfront — run a second server (or the window scheduler) for
+    multi-resolution traffic.
+    """
+
+    def __init__(self, model: "T2IModel", height: int, width: int,
+                 num_slots: int = 4, max_steps: int = 50):
+        if model._family != "sdxl":
+            raise ValueError(
+                "--scheduler continuous currently serves sdxl "
+                f"(got {model._family!r})"
+            )
+        from vision_ft_tpu.serving import (
+            ContinuousBatcher,
+            SDXLSlotAdapter,
+            SlotRequest,
+        )
+
+        self._SlotRequest = SlotRequest
+        self.height, self.width = height, width
+        self._engine = ContinuousBatcher(
+            SDXLSlotAdapter(model.model, height=height, width=width),
+            num_slots=num_slots,
+            max_steps=max_steps,
+        )
+
+    def submit(self, params: GenerationParams):
+        if (params.width, params.height) != (self.width, self.height):
+            raise ValueError(
+                f"continuous pool is fixed at {self.width}x{self.height}; "
+                f"got {params.width}x{params.height}"
+            )
+        for name, neutral, owner in (
+            ("renorm_cfg", 1.0, "Lumina2"),
+            ("cfg_trunc_ratio", 0.0, "Lumina2"),
+            ("distilled_guidance", 1.0, "Flux"),
+        ):
+            if getattr(params, name) != neutral:
+                raise ValueError(f"{name} is {owner}-only")
+        if params.frames is not None:
+            raise ValueError("frames is Wan-only (video)")
+        return self._engine.submit(
+            self._SlotRequest(
+                prompt=params.prompt,
+                negative_prompt=params.negative_prompt,
+                num_inference_steps=params.inference_steps,
+                cfg_scale=params.cfg_scale,
+                cfg_rescale=params.cfg_rescale,
+                seed=params.seed,
+            )
+        )
+
+    def close(self):
+        self._engine.close()
+
+
+def make_handler(batcher):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
             if self.path not in ("/predict", "/"):
@@ -422,17 +491,39 @@ def make_handler(batcher: MicroBatcher):
 @click.option("--no-batch-buckets", is_flag=True, default=False,
               help="run each group at its exact size instead of padding to "
                    "power-of-2 buckets (more compiled shapes)")
+@click.option("--scheduler", type=click.Choice(["window", "continuous"]),
+              default="window",
+              help="window: collate compatible requests arriving within "
+                   "--batch-window-ms; continuous: step-level slot pool "
+                   "(sdxl, fixed --pool-width x --pool-height)")
+@click.option("--num-slots", type=int, default=4,
+              help="continuous scheduler: latent slots in the pool")
+@click.option("--pool-width", type=int, default=768)
+@click.option("--pool-height", type=int, default=1024)
+@click.option("--max-steps", type=int, default=50,
+              help="continuous scheduler: schedule-table bound")
 def main(
     config_path: str, peft_path: Optional[str], tokenizer_path: Optional[str],
     family: str, deep_cache_interval: Optional[int],
     port: int, max_batch: int, batch_window_ms: float, no_batch_buckets: bool,
+    scheduler: str, num_slots: int, pool_width: int, pool_height: int,
+    max_steps: int,
 ):
     print("Loading model...")
     model = T2IModel(config_path, peft_path, tokenizer_path, family=family,
                      deep_cache_interval=deep_cache_interval)
-    batcher = MicroBatcher(model, max_batch=max_batch, window_ms=batch_window_ms,
-                           pad_to_bucket=not no_batch_buckets)
-    print(f"Serving on :{port} (POST /predict, micro-batch <= {max_batch})")
+    if scheduler == "continuous":
+        batcher = ContinuousScheduler(
+            model, height=pool_height, width=pool_width,
+            num_slots=num_slots, max_steps=max_steps,
+        )
+        print(f"Serving on :{port} (POST /predict, continuous batching, "
+              f"{num_slots} slots @ {pool_width}x{pool_height})")
+    else:
+        batcher = MicroBatcher(model, max_batch=max_batch,
+                               window_ms=batch_window_ms,
+                               pad_to_bucket=not no_batch_buckets)
+        print(f"Serving on :{port} (POST /predict, micro-batch <= {max_batch})")
     ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher)).serve_forever()
 
 
