@@ -109,3 +109,96 @@ def test_supports_contract():
     assert not supports(8, 256, 96, 64)    # N % 128
     assert not supports(8, 256, 128, 128)  # non-default blocksize
     assert supports(1, 10240, 1280, 64)
+
+
+# -- split device layout ------------------------------------------------------
+# to_split_layout re-packs bnb bytes once at load so both nibble planes read
+# CONTIGUOUS activation slices (no stride-2 lane deinterleave of x per call —
+# the XLA gather fusion for that overflowed scoped VMEM at AuraFlow shapes).
+
+from vision_ft_tpu.ops.pallas.nf4_matmul import from_split_layout, to_split_layout
+
+
+def test_split_layout_round_trip():
+    rng = np.random.default_rng(7)
+    n, k = 128, 512
+    packed = rng.integers(0, 256, (n, k // 2), dtype=np.uint8)
+    sp = to_split_layout(packed, (n, k))
+    np.testing.assert_array_equal(from_split_layout(sp, (n, k)), packed)
+    assert not np.array_equal(sp, packed)  # it really is a different layout
+
+
+def test_split_dequant_matches_bnb_dequant():
+    n, k = 128, 512
+    packed, code, absmax = _quantized(n, k)
+    sp = jnp.asarray(to_split_layout(np.asarray(packed), (n, k)))
+    want = dequantize_4bit(packed, code, absmax, (n, k), 64, jnp.float32)
+    got = dequantize_4bit(sp, code, absmax, (n, k), 64, jnp.float32, split=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (64, 256, 128),    # single K step
+        (100, 512, 256),   # M padding
+        (32, 1280, 384),   # multi-K (BKh=128), BN=128
+    ],
+)
+def test_split_forward_matches_bnb_kernel(m, k, n):
+    packed, code, absmax = _quantized(n, k)
+    sp = jnp.asarray(to_split_layout(np.asarray(packed), (n, k)))
+    x = jax.random.normal(jax.random.key(11), (m, k), jnp.bfloat16)
+    got = nf4_matmul(x, sp, code, absmax, (n, k), interpret=True, split=True)
+    want = _reference(x, packed, code, absmax, (n, k))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0, atol=2e-2 * np.abs(np.asarray(want, np.float32)).max() + 1e-6,
+    )
+
+
+def test_split_grad_matches_xla_dequant():
+    m, k, n = 40, 512, 128
+    packed, code, absmax = _quantized(n, k)
+    sp = jnp.asarray(to_split_layout(np.asarray(packed), (n, k)))
+    x = jax.random.normal(jax.random.key(12), (m, k), jnp.float32).astype(jnp.bfloat16)
+    co = jax.random.normal(jax.random.key(13), (m, n), jnp.bfloat16)
+
+    gk = jax.grad(
+        lambda x: (nf4_matmul(x, sp, code, absmax, (n, k),
+                              interpret=True, split=True) * co).sum()
+    )(x)
+    gr = jax.grad(
+        lambda x: (_reference(x, packed, code, absmax, (n, k)) * co).sum()
+    )(x)
+    scale = np.abs(np.asarray(gr, np.float32)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(gk, np.float32), np.asarray(gr, np.float32),
+        rtol=0, atol=3e-2 * scale,
+    )
+
+
+def test_quantize_weight_produces_split_device_layout():
+    """The param-tree producer emits the split layout + marker, and the
+    fallback dequant on that subtree equals the bnb-byte dequant."""
+    from vision_ft_tpu.modules.quant.functional import (
+        dequantize_weight,
+        quantize_weight,
+    )
+    from vision_ft_tpu.modules.quant.nf4 import quantize_4bit
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((128, 512)).astype(np.float32) * 0.02
+    sub = quantize_weight(w, "bnb_nf4")
+    assert "split" in sub
+    packed_bnb, _ = quantize_4bit(w, quant_type="nf4")
+    np.testing.assert_array_equal(
+        from_split_layout(np.asarray(sub["packed"]), (128, 512)),
+        np.asarray(packed_bnb).reshape(128, 256),
+    )
+    dq = dequantize_weight(sub, dtype=jnp.float32)
+    want = dequantize_4bit(
+        jnp.asarray(packed_bnb), sub["code"], sub["absmax"], (128, 512), 64,
+        jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(dq), np.asarray(want))

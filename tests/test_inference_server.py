@@ -315,13 +315,14 @@ def test_continuous_scheduler_validation():
 
     from tools.inference_server import ContinuousScheduler, T2IModel
 
-    non_sdxl = T2IModel.__new__(T2IModel)
-    non_sdxl._family = "lumina2"
-    with pytest.raises(ValueError, match="currently serves sdxl"):
-        ContinuousScheduler(non_sdxl, height=64, width=64)
+    unsupported = T2IModel.__new__(T2IModel)
+    unsupported._family = "wan"
+    with pytest.raises(ValueError, match="currently serves"):
+        ContinuousScheduler(unsupported, height=64, width=64)
 
     sched = ContinuousScheduler.__new__(ContinuousScheduler)
     sched.height, sched.width = 64, 64
+    sched._family = "sdxl"
     with pytest.raises(ValueError, match="fixed at 64x64"):
         sched.submit(GenerationParams(prompt="x", width=128, height=64))
     with pytest.raises(ValueError, match="Lumina2-only"):
@@ -336,3 +337,11 @@ def test_continuous_scheduler_validation():
         )
     with pytest.raises(ValueError, match="Wan-only"):
         sched.submit(GenerationParams(prompt="x", width=64, height=64, frames=8))
+    # the lumina2 pool owns renorm/trunc but refuses SDXL's rescale
+    lum = ContinuousScheduler.__new__(ContinuousScheduler)
+    lum.height, lum.width = 64, 64
+    lum._family = "lumina2"
+    with pytest.raises(ValueError, match="SDXL-only"):
+        lum.submit(
+            GenerationParams(prompt="x", width=64, height=64, cfg_rescale=0.5)
+        )

@@ -274,3 +274,31 @@ def test_quanto_int4_grouped_layout_dequantizes():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported QBitsTensor"):
         dequantize_weight(bad, jnp.float32, shape=(out_f, in_f + 2))
+
+
+def test_4bit_padded_and_odd_shapes_dequantize():
+    """Shapes whose numel is not a multiple of bnb's pad unit (128) or
+    whose K axis is odd: the split device layout must slice off bnb's pad
+    bytes before repacking, and the blocksize must be INFERRED (a (10, 7)
+    weight has 2 absmax blocks of 64 — ``numel // nblocks`` would read 35
+    and scale the tail rows by the wrong block; regression for both)."""
+    from vision_ft_tpu.modules.quant.functional import (
+        dequantize_weight,
+        quantize_weight,
+    )
+    from vision_ft_tpu.modules.quant.nf4 import infer_blocksize
+
+    assert infer_blocksize(70, 2) == 64
+    assert infer_blocksize(8192, 128) == 64
+    assert infer_blocksize(8192, 64) == 128
+    assert infer_blocksize(70, 1) == 128
+
+    rng = np.random.default_rng(7)
+    for shape in [(10, 6), (6, 10), (2, 4), (10, 7), (3, 3), (1, 2)]:
+        w = rng.standard_normal(shape).astype(np.float32)
+        sub = quantize_weight(w, "bnb_nf4")
+        assert ("split" in sub) == (shape[1] % 2 == 0), shape
+        deq = np.asarray(dequantize_weight(sub, jnp.float32, shape))
+        # per-element NF4 error is <= absmax * (largest grid gap)/2 ~ 0.14;
+        # a wrong-block scale (the regression) lands far outside this
+        assert np.abs(deq - w).max() < 0.17 * np.abs(w).max() + 1e-6, shape

@@ -45,7 +45,8 @@ class MockHFTokenizer:
         return {"input_ids": np.asarray(ids), "attention_mask": np.asarray(mask)}
 
 
-def bench(name: str, deep_cache: int | None = None):
+def bench(name: str, deep_cache: int | None = None, batch: int = 1,
+          res: int | None = None):
     t_build = time.time()
     base = name
     for suffix in ("_nf4", "_w8a8"):
@@ -208,19 +209,25 @@ def bench(name: str, deep_cache: int | None = None):
             )
     print(f"[{name}] init {time.time() - t_build:.0f}s", file=sys.stderr, flush=True)
 
+    if res is not None:
+        kwargs["width"] = kwargs["height"] = res
+    prompts = [f"a photo of a cat {i}" for i in range(batch)]
+    prompt = prompts if batch > 1 else prompts[0]
     t0 = time.time()
-    model.generate("a photo of a cat", seed=0, **kwargs)
+    model.generate(prompt, seed=0, **kwargs)
     print(f"[{name}] first generate (incl compile): {time.time() - t0:.0f}s",
           file=sys.stderr, flush=True)
     t0 = time.time()
-    model.generate("a photo of a cat", seed=0, **kwargs)
+    model.generate(prompt, seed=0, **kwargs)
     el = time.time() - t0
     steps = kwargs["num_inference_steps"]
+    px = kwargs["width"]
     dc = kwargs.get("deep_cache_interval")
     tag = f', "deep_cache_interval": {dc}' if dc else ""
+    btag = f', "batch": {batch}' if batch > 1 else ""
     print(
-        f'{{"family": "{name}", "generate_1024px_{steps}steps_s": {el:.2f}, '
-        f'"steps_per_sec": {steps / el:.2f}{tag}}}',
+        f'{{"family": "{name}", "generate_{px}px_{steps}steps_s": {el:.2f}, '
+        f'"steps_per_sec": {steps / el:.2f}{tag}{btag}}}',
         flush=True,
     )
 
@@ -232,12 +239,21 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     argv = sys.argv[1:]
     deep_cache = None
+    batch, res = 1, None
     if "--deep-cache" in argv:  # DeepCache interval (image families)
         i = argv.index("--deep-cache")
         try:
             deep_cache = int(argv[i + 1])
         except (IndexError, ValueError):
             sys.exit("usage: --deep-cache <int> (sdxl/lumina2/auraflow/cogview4)")
+        argv = argv[:i] + argv[i + 2:]
+    if "--batch" in argv:  # batch-scaling A/B (e.g. server collation sizes)
+        i = argv.index("--batch")
+        batch = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--res" in argv:
+        i = argv.index("--res")
+        res = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     families = argv or ["lumina2", "auraflow", "cogview4"]
     if deep_cache and any(
@@ -246,7 +262,7 @@ def main():
         sys.exit("--deep-cache applies to sdxl/lumina2/auraflow/cogview4")
     for name in families:
         try:
-            bench(name, deep_cache=deep_cache)
+            bench(name, deep_cache=deep_cache, batch=batch, res=res)
         except Exception as e:  # OOM on 16 GB chips for the biggest families
             print(f'{{"family": "{name}", "error": "{type(e).__name__}: '
                   f'{str(e)[:120]}"}}', flush=True)

@@ -33,6 +33,11 @@ def quantize_params_zeros(abstract_tree, include_keys, blocksize: int = 64):
         if targeted:
             numel = int(np.prod(leaf.shape))
             out[f"{key}.packed"] = np.zeros(((numel + 1) // 2, 1), np.uint8)
+            if leaf.shape[1] % 2 == 0:
+                # mirror quantize_weight's split device layout (zeros are
+                # layout-invariant; the MARKER routes the kernel onto the
+                # contiguous-slice path, which is what ships)
+                out[f"{key}.split"] = np.ones((), np.uint8)
             out[f"{key}.code"] = np.asarray(NF4_CODE, np.float32)
             out[f"{key}.absmax"] = np.ones(
                 (numel + blocksize - 1) // blocksize, np.float32

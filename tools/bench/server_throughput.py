@@ -7,8 +7,14 @@ at small size/steps (generate timing is value-independent) driven through
 the REAL MicroBatcher with N submitter threads, vs the same N requests
 issued back-to-back.
 
+``--staggered`` instead replays a trace where requests arrive spread out
+with MIXED step counts — the regime window collation cannot batch (keys
+differ, arrivals miss the window) — through all three schedulers: serial,
+window MicroBatcher, and step-level ContinuousBatcher
+(vision_ft_tpu.serving). Reports wall time and mean request latency.
+
 Usage: python tools/bench/server_throughput.py [--n 4] [--res 512] [--steps 4]
-           [--family sdxl|lumina2]
+           [--family sdxl|lumina2] [--staggered] [--gap-ms 300] [--slots 4]
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ import jax.numpy as jnp
 
 def main() -> None:
     n, res, steps, family = 4, 512, 4, "sdxl"
+    staggered, gap_ms, slots = False, 300.0, 4
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--n":
@@ -40,6 +47,12 @@ def main() -> None:
             steps = int(argv[i + 1])
         elif a == "--family":
             family = argv[i + 1]
+        elif a == "--staggered":
+            staggered = True
+        elif a == "--gap-ms":
+            gap_ms = float(argv[i + 1])
+        elif a == "--slots":
+            slots = int(argv[i + 1])
 
     cache_dir = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -106,6 +119,12 @@ def main() -> None:
         sys.exit(f"unknown family {family} (sdxl | lumina2)")
     model.init_params(jax.random.PRNGKey(0), jnp.bfloat16)
 
+    if staggered:
+        if family != "sdxl":
+            sys.exit("--staggered is sdxl-only (continuous batching pool)")
+        _run_staggered(model, n=n, res=res, gap_ms=gap_ms, slots=slots)
+        return
+
     class _Server:
         def __init__(self, model):
             self.model = model
@@ -170,6 +189,118 @@ def main() -> None:
                 "unit": "x_vs_serial",
                 "serial_s": round(serial, 2),
                 "batched_s": round(batched, 2),
+            }
+        )
+    )
+
+
+def _run_staggered(model, *, n: int, res: int, gap_ms: float, slots: int) -> None:
+    """Replay one staggered mixed-step trace through serial / window /
+    continuous scheduling and report wall + mean latency for each."""
+    from inference_server import GenerationParams, MicroBatcher
+    from vision_ft_tpu.serving import (
+        ContinuousBatcher,
+        SDXLSlotAdapter,
+        SlotRequest,
+    )
+
+    # mixed step counts defeat the window collator's batch key on purpose
+    step_mix = [12, 20, 16, 24]
+    reqs = [
+        GenerationParams(
+            prompt=f"a photo of cat {i}", width=res, height=res,
+            inference_steps=step_mix[i % len(step_mix)],
+        )
+        for i in range(n)
+    ]
+
+    class _Server:
+        def __init__(self, model):
+            self.model = model
+            self._lock = threading.Lock()
+
+        def generate_batch(self, batch):
+            with self._lock:
+                head = batch[0]
+                return self.model.generate(
+                    prompt=[p.prompt for p in batch],
+                    negative_prompt=[p.negative_prompt for p in batch],
+                    num_inference_steps=head.inference_steps,
+                    cfg_scale=head.cfg_scale,
+                    width=head.width,
+                    height=head.height,
+                )
+
+    server = _Server(model)
+    for s in sorted(set(step_mix)):  # warm every batch-1 program
+        server.generate_batch(
+            [GenerationParams(prompt="warm", width=res, height=res,
+                              inference_steps=s)]
+        )
+
+    def replay(submit):
+        """Arrivals every gap_ms; returns (wall_s, mean_latency_s)."""
+        lat = [None] * len(reqs)
+        threads = []
+
+        def run(i):
+            t0 = time.perf_counter()
+            submit(reqs[i])
+            lat[i] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(len(reqs)):
+            th = threading.Thread(target=run, args=(i,))
+            th.start()
+            threads.append(th)
+            time.sleep(gap_ms / 1000.0)
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        assert all(v is not None for v in lat)
+        return wall, sum(lat) / len(lat)
+
+    results = {}
+    results["serial"] = replay(lambda p: server.generate_batch([p])[0])
+
+    window = MicroBatcher(server, max_batch=slots, window_ms=50.0)
+    results["window"] = replay(window.submit)
+
+    adapter = SDXLSlotAdapter(model, height=res, width=res)
+    engine = ContinuousBatcher(adapter, num_slots=slots,
+                               max_steps=max(step_mix))
+    # warm the pool program + decode
+    engine.submit(SlotRequest("warm", num_inference_steps=2))
+    try:
+        results["continuous"] = replay(
+            lambda p: engine.submit(
+                SlotRequest(
+                    p.prompt, p.negative_prompt,
+                    num_inference_steps=p.inference_steps,
+                    cfg_scale=p.cfg_scale,
+                )
+            )
+        )
+    finally:
+        engine.close()
+
+    wall_w, lat_w = results["window"]
+    wall_c, lat_c = results["continuous"]
+    wall_s, lat_s = results["serial"]
+    print(
+        json.dumps(
+            {
+                "metric": f"staggered_continuous_vs_window_{n}x{res}px",
+                "value": round(wall_w / wall_c, 2),
+                "unit": "x_wall_vs_window",
+                "serial": {"wall_s": round(wall_s, 2), "mean_lat_s": round(lat_s, 2)},
+                "window": {"wall_s": round(wall_w, 2), "mean_lat_s": round(lat_w, 2)},
+                "continuous": {
+                    "wall_s": round(wall_c, 2),
+                    "mean_lat_s": round(lat_c, 2),
+                    "slots": slots,
+                },
+                "gap_ms": gap_ms,
             }
         )
     )

@@ -15,7 +15,7 @@ needs) arriving within a short window into one batched generate() call,
 so N concurrent users cost ~one denoise pass instead of N. This is the
 "batched inference server" of tracked config #5 (BASELINE.json).
 
-``--scheduler continuous`` (sdxl) swaps in step-level continuous
+``--scheduler continuous`` (sdxl, lumina2) swaps in step-level continuous
 batching (vision_ft_tpu.serving): requests join a fixed pool of latent
 slots at denoise-step boundaries, so staggered traffic with mixed step
 counts / seeds / guidance scales shares the device with no collation
@@ -362,7 +362,9 @@ class ContinuousScheduler:
     Wraps vision_ft_tpu.serving.ContinuousBatcher: requests join a fixed
     pool of latent slots at denoise-step boundaries, so staggered traffic
     with mixed step counts / seeds / guidance shares the device without
-    waiting for a collation window. The pool's latent shape is fixed at
+    waiting for a collation window. Families: sdxl (ancestral, per-slot
+    noise seeds, cfg_rescale) and lumina2 (flow matching, renorm CFG +
+    per-slot CFG truncation). The pool's latent shape is fixed at
     construction (one compiled program); requests for another size are
     rejected upfront — run a second server (or the window scheduler) for
     multi-resolution traffic.
@@ -370,21 +372,24 @@ class ContinuousScheduler:
 
     def __init__(self, model: "T2IModel", height: int, width: int,
                  num_slots: int = 4, max_steps: int = 50):
-        if model._family != "sdxl":
-            raise ValueError(
-                "--scheduler continuous currently serves sdxl "
-                f"(got {model._family!r})"
-            )
         from vision_ft_tpu.serving import (
             ContinuousBatcher,
+            Lumina2SlotAdapter,
             SDXLSlotAdapter,
             SlotRequest,
         )
 
+        adapters = {"sdxl": SDXLSlotAdapter, "lumina2": Lumina2SlotAdapter}
+        if model._family not in adapters:
+            raise ValueError(
+                "--scheduler continuous currently serves "
+                f"{sorted(adapters)} (got {model._family!r})"
+            )
         self._SlotRequest = SlotRequest
+        self._family = model._family
         self.height, self.width = height, width
         self._engine = ContinuousBatcher(
-            SDXLSlotAdapter(model.model, height=height, width=width),
+            adapters[model._family](model.model, height=height, width=width),
             num_slots=num_slots,
             max_steps=max_steps,
         )
@@ -395,12 +400,14 @@ class ContinuousScheduler:
                 f"continuous pool is fixed at {self.width}x{self.height}; "
                 f"got {params.width}x{params.height}"
             )
-        for name, neutral, owner in (
-            ("renorm_cfg", 1.0, "Lumina2"),
-            ("cfg_trunc_ratio", 0.0, "Lumina2"),
-            ("distilled_guidance", 1.0, "Flux"),
-        ):
-            if getattr(params, name) != neutral:
+        family_only = (
+            ("cfg_rescale", 0.0, "SDXL", "sdxl"),
+            ("renorm_cfg", 1.0, "Lumina2", "lumina2"),
+            ("cfg_trunc_ratio", 0.0, "Lumina2", "lumina2"),
+            ("distilled_guidance", 1.0, "Flux", None),
+        )
+        for name, neutral, owner, allowed in family_only:
+            if getattr(params, name) != neutral and self._family != allowed:
                 raise ValueError(f"{name} is {owner}-only")
         if params.frames is not None:
             raise ValueError("frames is Wan-only (video)")
@@ -411,6 +418,8 @@ class ContinuousScheduler:
                 num_inference_steps=params.inference_steps,
                 cfg_scale=params.cfg_scale,
                 cfg_rescale=params.cfg_rescale,
+                renorm_cfg=params.renorm_cfg,
+                cfg_trunc_ratio=params.cfg_trunc_ratio,
                 seed=params.seed,
             )
         )
@@ -495,7 +504,7 @@ def make_handler(batcher):
               default="window",
               help="window: collate compatible requests arriving within "
                    "--batch-window-ms; continuous: step-level slot pool "
-                   "(sdxl, fixed --pool-width x --pool-height)")
+                   "(sdxl/lumina2, fixed --pool-width x --pool-height)")
 @click.option("--num-slots", type=int, default=4,
               help="continuous scheduler: latent slots in the pool")
 @click.option("--pool-width", type=int, default=768)

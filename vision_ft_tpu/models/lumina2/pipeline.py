@@ -199,6 +199,74 @@ class Lumina2:
             return new_latents.astype(latents.dtype), refined, delta
         return new_latents.astype(latents.dtype), refined
 
+    # -- continuous-batching slot step -------------------------------------------------
+
+    def _slot_step(
+        self,
+        params,
+        latents,           # (S, h, w, c) — one row per serving slot
+        timestep,          # (S,) f32 — per-slot denoise position
+        sigma,             # (S,) f32
+        next_sigma,        # (S,) f32
+        caption_features,  # (2S, L, D) [positives; negatives]
+        caption_mask,      # (2S, L)
+        cfg_scale,         # (S,) f32
+        renorm_cfg_scale,  # (S,) f32
+        cfg_trunc_ratio,   # (S,) f32
+        step_idx,          # (S,) i32
+        total_steps,       # (S,) i32
+        active,            # (S,) bool — inactive rows keep their latents
+    ):
+        """One flow-matching Euler step over a SLOT POOL — the Lumina2 jit
+        unit of step-level continuous batching (vision_ft_tpu.serving).
+        Every per-request scalar of :meth:`_denoise_step` is a per-slot
+        vector, including Lumina2's CFG-truncation gate
+        ((i+1)/n > trunc_ratio, reference pipeline.py:379-415): truncated
+        slots take the bare positive velocity — the negative half still
+        computes (constant shapes), its result is just unselected. Captions
+        are re-refined every step instead of reusing generate()'s caption
+        cache; the refinement is latent/time-independent so the math is
+        identical."""
+        s = latents.shape[0]
+        expand = lambda v: v[:, None, None, None]
+        latents_input = jnp.concatenate([latents, latents])
+        t2 = jnp.concatenate([timestep, timestep])
+        velocity, _mask, _refined = self.denoiser(
+            params, latents_input,
+            caption_features, t2, caption_mask,
+            cached_caption_features=None,
+        )
+        positive, negative = velocity[:s], velocity[s:]
+        new_velocity = negative + expand(cfg_scale) * (positive - negative)
+        # renorm CFG (reference pipeline.py:287-307): norm over NHWC axis 2
+        positive_norm = jnp.linalg.norm(
+            positive.astype(jnp.float32), axis=2, keepdims=True
+        )
+        new_norm = jnp.linalg.norm(
+            new_velocity.astype(jnp.float32), axis=2, keepdims=True
+        )
+        scale = jnp.where(
+            expand(renorm_cfg_scale) > 0.0,
+            positive_norm * expand(renorm_cfg_scale)
+            / jnp.maximum(new_norm, 1e-12),
+            1.0,
+        ).astype(new_velocity.dtype)
+        ratio = (step_idx.astype(jnp.float32) + 1.0) / total_steps.astype(
+            jnp.float32
+        )
+        do_cfg_step = (cfg_scale > 1.0) & (ratio > cfg_trunc_ratio)
+        velocity = jnp.where(expand(do_cfg_step), new_velocity * scale, positive)
+        new_latents = latents.astype(jnp.float32) + velocity.astype(
+            jnp.float32
+        ) * expand(sigma - next_sigma)
+        new_latents = new_latents.astype(latents.dtype)
+        return jnp.where(expand(active), new_latents, latents)
+
+    def _get_jit_slot_step(self):
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "slot_step", self._slot_step)
+
     def _get_jit_step(self, do_cfg: bool, use_cache: bool,
                       deep_cache: bool = False, refresh: bool = True,
                       cache_depth: Optional[int] = None):

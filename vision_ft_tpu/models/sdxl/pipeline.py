@@ -308,7 +308,8 @@ class SDXLModel:
         crop_coords,    # (2S, 2)
         cfg_scale,      # (S,) f32 — per-request guidance
         cfg_rescale,    # (S,) f32
-        step_seeds,     # (S,) i32 — per-slot ancestral noise seeds
+        seeds,          # (S,) i32 — per-slot base noise seeds
+        step_idx,       # (S,) i32 — per-slot denoise-step index
         active,         # (S,) bool — inactive rows keep their latents
     ):
         """One CFG Euler-ancestral step over a SLOT POOL: every per-request
@@ -317,11 +318,15 @@ class SDXLModel:
         ride the same compiled program in one batch. This is the jit unit of
         step-level continuous batching (vision_ft_tpu.serving.continuous):
         requests join/leave the pool at step boundaries instead of waiting
-        for a window of identically-shaped requests. Noise rows draw from
-        per-slot seeds with the same PRNGKey construction as
-        ``_incremental_seed_randn_jit``, so a slot reproduces the plain
-        batch-1 ``generate()`` stream exactly."""
+        for a window of identically-shaped requests. Each slot's step-i
+        ancestral noise draws from ``PRNGKey((seed + 7919*(i+1)) mod 2^31)``
+        — the exact stream of the plain batch-1 ``generate()`` (i32 wraparound
+        here equals the host's int64-then-mask arithmetic: both keep the low
+        31 bits)."""
         expand = lambda v: v[:, None, None, None]
+        step_seeds = (
+            seeds + jnp.int32(7919) * (step_idx + 1)
+        ) & jnp.int32(0x7FFFFFFF)
         noise = jax.vmap(
             lambda s: jax.random.normal(
                 jax.random.PRNGKey(s), latents.shape[1:], jnp.float32

@@ -40,7 +40,7 @@ import numpy as np
 
 from ...nn.core import Params, flatten_params, unflatten_params
 from ...utils.state_dict import RegexMatch, get_target_keys
-from .nf4 import dequantize_4bit, parse_quant_state, quantize_4bit
+from .nf4 import dequantize_4bit, infer_blocksize, parse_quant_state, quantize_4bit
 
 QUANT_TYPE = Literal[
     "fp8_e4m3fn",
@@ -80,12 +80,13 @@ def quantize_weight(weight, quant_type: QUANT_TYPE) -> Any:
         qt = "nf4" if quant_type.endswith("nf4") else "fp4"
         packed, state = quantize_4bit(w, quant_type=qt)
         parsed = parse_quant_state(state)
-        return {
-            "packed": jnp.asarray(packed),
+        sub = {
             "code": parsed["code"],
             "absmax": parsed["absmax"],
             "_meta": _encode_meta(qt, w.shape, parsed["blocksize"]),
         }
+        sub.update(_device_packed_layout(packed, w.shape))
+        return sub
     if quant_type == "bnb_int8":
         absmax = np.maximum(np.abs(w).max(axis=1), 1e-12).astype(np.float32)
         data = np.round(w / absmax[:, None] * 127.0).clip(-127, 127).astype(np.int8)
@@ -129,6 +130,30 @@ def quantize_weight(weight, quant_type: QUANT_TYPE) -> Any:
     raise NotImplementedError(f"{quant_type} quantization is not implemented")
 
 
+def _device_packed_layout(packed, shape) -> dict[str, Any]:
+    """bnb disk bytes -> the device-tree packed layout.
+
+    2-D even-k weights repack to the SPLIT layout (hi nibbles = columns
+    [0, k/2), lo = [k/2, k)), marked by a ``split`` leaf: the fused
+    Pallas matmul then reads both nibble-plane activations as contiguous
+    slices of x — the bnb byte order would force a stride-2 lane
+    deinterleave of x per call, an extra XLA pass whose gather fusion
+    overflows the 16 MB scoped-VMEM stack at AuraFlow train shapes.
+    One-time host-side numpy; the on-disk format stays bnb
+    (quantize_state_dict / the quant goldens are unaffected).
+    """
+    if len(shape) == 2 and shape[1] % 2 == 0:
+        from ...ops.pallas.nf4_matmul import to_split_layout
+
+        return {
+            "packed": jnp.asarray(
+                to_split_layout(np.asarray(packed, np.uint8), tuple(shape))
+            ),
+            "split": jnp.ones((), jnp.uint8),
+        }
+    return {"packed": jnp.asarray(packed)}
+
+
 def _encode_meta(quant_type: str, shape, blocksize: int) -> jax.Array:
     import json
 
@@ -165,10 +190,10 @@ def dequantize_weight(weight: Any, dtype=jnp.float32, shape=None) -> jax.Array:
             meta = _decode_meta(weight["_meta"])
             shape = tuple(meta["shape"])
         numel = int(np.prod(shape))
-        blocksize = numel // int(weight["absmax"].shape[0])
+        blocksize = infer_blocksize(numel, int(weight["absmax"].shape[0]))
         return dequantize_4bit(
             weight["packed"], weight["code"], weight["absmax"],
-            tuple(shape), blocksize, dtype,
+            tuple(shape), blocksize, dtype, split="split" in weight,
         )
     if "SCB" in weight:
         return (
@@ -298,9 +323,10 @@ def convert_prequantized_state_dict(state_dict: dict[str, Any]) -> dict[str, Any
         quant_type = get_quant_type_from_children_dict(children)
         if quant_type in ("bnb_nf4", "bnb_fp4"):
             parsed = parse_quant_state(children)
-            out[f"{root}.packed"] = jnp.asarray(
-                np.asarray(state_dict[root]), jnp.uint8
-            )
+            for name, leaf in _device_packed_layout(
+                np.asarray(state_dict[root]), parsed["shape"]
+            ).items():
+                out[f"{root}.{name}"] = leaf
             out[f"{root}.code"] = parsed["code"]
             out[f"{root}.absmax"] = parsed["absmax"]
             out[f"{root}._meta"] = _encode_meta(

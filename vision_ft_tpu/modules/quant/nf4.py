@@ -190,6 +190,20 @@ def parse_quant_state(children: dict[str, Any]) -> dict[str, Any]:
     }
 
 
+def infer_blocksize(numel: int, nblocks: int) -> int:
+    """bnb blocksize from (numel, len(absmax)).
+
+    ``numel // nblocks`` under-reads whenever bnb padded the flat element
+    array (numel not a multiple of the blocksize): e.g. a (10, 7) weight
+    quantizes to absmax blocks of 64 but 70 // 2 = 35. The blocksize is
+    the smallest power of two >= 64 whose nblocks cover numel.
+    """
+    blocksize = 64
+    while blocksize * nblocks < numel:
+        blocksize *= 2
+    return blocksize
+
+
 def dequantize_4bit(
     packed: jax.Array,
     code: jax.Array,
@@ -197,6 +211,7 @@ def dequantize_4bit(
     shape: tuple[int, ...],
     blocksize: int = 64,
     dtype=jnp.float32,
+    split: bool = False,
 ) -> jax.Array:
     """Unpack + codebook lookup + per-block scale. Pure XLA; fuses into the
     consuming matmul under jit.
@@ -205,7 +220,13 @@ def dequantize_4bit(
     per-block scale a broadcast — no gather, no jnp.repeat. On TPU v5e
     this makes the fused NF4 matmul ~5x faster than the gather form
     (8.0ms -> 1.5ms at 5120x5120), i.e. at parity with a plain bf16
-    matmul: dequant rides the VPU while the MXU does the contraction."""
+    matmul: dequant rides the VPU while the MXU does the contraction.
+
+    ``split=True`` reads the split device layout
+    (ops/pallas/nf4_matmul.to_split_layout): for a 2-D (n, k) weight,
+    byte j of a row holds columns j (hi nibble) and k/2+j (lo nibble) —
+    the nibble planes CONCATENATE along k instead of interleaving, so
+    even this fallback avoids the lane-interleave shuffle."""
     flat = packed.reshape(-1).astype(jnp.uint8)
     high = (flat >> 4).astype(jnp.int32)
     low = (flat & 0xF).astype(jnp.int32)
@@ -218,8 +239,16 @@ def dequantize_4bit(
             v = jnp.where(c == i, code32[i], v)
         return v
 
-    values = jnp.stack([lut(high), lut(low)], axis=-1).reshape(-1)
     numel = int(np.prod(shape))
+    if split:
+        if len(shape) != 2 or shape[1] % 2:
+            raise ValueError(f"split layout needs a 2-D even-k shape, got {shape}")
+        n, k = shape
+        values = jnp.concatenate(
+            [lut(high).reshape(n, k // 2), lut(low).reshape(n, k // 2)], axis=1
+        ).reshape(-1)
+    else:
+        values = jnp.stack([lut(high), lut(low)], axis=-1).reshape(-1)
     values = values[:numel]
     scales = jnp.broadcast_to(
         absmax.astype(jnp.float32)[:, None], (absmax.shape[0], blocksize)

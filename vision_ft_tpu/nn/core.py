@@ -320,14 +320,16 @@ class Linear(Module):
                 # dequant below must materialize the full weight plus an
                 # f32 unpack stack as HBM temps per matmul (enough live
                 # temps to OOM the SDXL/AuraFlow NF4 train steps)
+                from ..modules.quant.nf4 import infer_blocksize
                 from ..ops.pallas.nf4_matmul import nf4_matmul, supports
 
                 n, k = self.out_features, self.in_features
                 numel = n * k
-                blocksize = numel // w["absmax"].shape[0]
+                blocksize = infer_blocksize(numel, w["absmax"].shape[0])
                 m = x.size // x.shape[-1]
                 if supports(m, k, n, blocksize):
-                    y = nf4_matmul(x, w["packed"], w["code"], w["absmax"], (n, k), blocksize)
+                    y = nf4_matmul(x, w["packed"], w["code"], w["absmax"], (n, k),
+                                   blocksize, split="split" in w)
                     if "bias" in params:
                         y = y + params["bias"].astype(y.dtype)
                     delta = _linear_adapter_delta(params, x)

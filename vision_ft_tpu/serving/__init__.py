@@ -5,6 +5,16 @@ sampling — the scheduling layer above the reference's one-request-at-a-
 time HTTP server (/root/reference/tools/inference_server.py:19-136).
 """
 
-from .continuous import ContinuousBatcher, SDXLSlotAdapter, SlotRequest
+from .continuous import (
+    ContinuousBatcher,
+    Lumina2SlotAdapter,
+    SDXLSlotAdapter,
+    SlotRequest,
+)
 
-__all__ = ["ContinuousBatcher", "SDXLSlotAdapter", "SlotRequest"]
+__all__ = [
+    "ContinuousBatcher",
+    "Lumina2SlotAdapter",
+    "SDXLSlotAdapter",
+    "SlotRequest",
+]

@@ -12,18 +12,39 @@ and the server degenerates to serial batch-1 calls.
 Continuous batching schedules at STEP granularity instead — the
 diffusion analogue of vLLM's token-level scheduling, natural on TPU
 because XLA wants one fixed-shape program: every denoise step of every
-request is the same compiled ``_slot_step`` over a fixed pool of S
-latent rows, with per-request state reduced to per-slot VECTORS
-(timestep, sigma, guidance scale, noise seed, active flag). A new
-request joins the pool at any step boundary by overwriting a free row;
-a finished request leaves the same way. Requests with different step
-counts, seeds and guidance scales coexist in one batch; the device sees
-a constant shape and never recompiles.
+request is the same compiled slot step over a fixed pool of S latent
+rows, with per-request state reduced to per-slot VECTORS (timestep,
+sigma, step index, guidance scales, active flag). A new request joins
+the pool at any step boundary by overwriting a free row; a finished
+request leaves the same way. Requests with different step counts, seeds
+and guidance scales coexist in one batch; the device sees a constant
+shape and never recompiles.
 
-Per-slot noise follows the exact ``PRNGKey(seed)`` / ``seed + 7919*(i+1)``
-construction of the plain pipeline (models/sdxl/pipeline.py
-``_generate_core``), so a slot's output is numerically identical to the
-same request run through batch-1 ``generate()``.
+The engine is family-agnostic: everything family-specific (prompt
+encoding layout, scheduler tables, latent init, the jitted slot step,
+VAE decode) lives behind a small adapter protocol —
+:class:`SDXLSlotAdapter` (Euler-ancestral CFG, per-slot noise seeds) and
+:class:`Lumina2SlotAdapter` (flow matching, renorm CFG + per-slot CFG
+truncation) ship here; other families implement the same methods.
+
+Adapter protocol (duck-typed):
+  latent_shape, dtype            — one slot's latent row shape / dtype
+  schedule(req)                  -> (timesteps (n,), sigmas (n+1,)) numpy
+  encode(reqs)                   -> one opaque context row per request
+  blank_context(num_slots)       -> device pytree holding all slots' rows
+  write_slot(ctx, j, row)        -> ctx with slot j's row written
+  scalar_fields()                -> {name: (default, np dtype)} per-slot tables
+  request_scalars(req)           -> {name: value} for an admitted request
+  init_latents(req, seed, sigmas)-> one latent row
+  slot_step(latents, ctx, t, sigma, next_sigma, idx, total, scalars,
+            active)              -> new latents (ONE jitted device step)
+  decode(latent_row)             -> image
+
+Per-slot noise (SDXL) follows the exact ``PRNGKey(seed)`` /
+``seed + 7919*(i+1)`` construction of the plain pipeline
+(models/sdxl/pipeline.py ``_generate_core``), so a slot's output is
+numerically identical to the same request run through batch-1
+``generate()``.
 """
 
 from __future__ import annotations
@@ -41,13 +62,22 @@ import jax.numpy as jnp
 
 @dataclass
 class SlotRequest:
-    """One generation request; the continuous-batching unit of work."""
+    """One generation request; the continuous-batching unit of work.
+
+    A family-agnostic superset of knobs (like the server's
+    GenerationParams): adapters read the fields they own and ignore the
+    rest — cfg_rescale is SDXL's std-matching rescale, renorm_cfg /
+    cfg_trunc_ratio are Lumina2's norm-matching renorm + early-schedule
+    CFG skip.
+    """
 
     prompt: str
     negative_prompt: str = ""
     num_inference_steps: int = 20
     cfg_scale: float = 3.5
     cfg_rescale: float = 0.0
+    renorm_cfg: float = 1.0
+    cfg_trunc_ratio: float = 0.0
     seed: Optional[int] = None
 
 
@@ -62,10 +92,10 @@ class _Pending:
 class SDXLSlotAdapter:
     """Family adapter binding the engine to an SDXL pipeline.
 
-    Owns everything family-specific: prompt encoding layout (positive
-    rows [0:S], negative rows [S:2S], matching ``_denoise_step``'s CFG
-    split), the scheduler tables, latent init, the jitted slot step and
-    the VAE decode. Other families implement the same five methods.
+    Context layout matches ``_denoise_step``'s CFG split: positive rows
+    [0:S], negative rows [S:2S]. Per-step ancestral noise seeds derive
+    from the per-slot base seed INSIDE the jitted step (same
+    ``seed + 7919*(i+1)`` stream as batch-1 generate()).
     """
 
     def __init__(self, model, height: int, width: int,
@@ -91,21 +121,26 @@ class SDXLSlotAdapter:
         self.pooled_shape = pooled.shape[1:]
         self.dtype = model.dtype
 
-    # -- schedule -----------------------------------------------------------------
-
     def schedule(self, request: SlotRequest):
-        """(timesteps (n,), sigmas (n+1,), max_noise_sigma) for a request."""
         timesteps = self.model.scheduler.get_timesteps(
             request.num_inference_steps
         )
         sigmas = self.model.scheduler.get_sigmas(timesteps)
-        return (
-            np.asarray(timesteps, np.float32),
-            np.asarray(sigmas, np.float32),
-            self.model.scheduler.get_max_noise_sigma(sigmas),
-        )
+        return np.asarray(timesteps, np.float32), np.asarray(sigmas, np.float32)
 
-    # -- per-request rows ----------------------------------------------------------
+    def scalar_fields(self):
+        return {
+            "cfg_scale": (1.0, np.float32),
+            "cfg_rescale": (0.0, np.float32),
+            "seed": (0, np.int64),
+        }
+
+    def request_scalars(self, request: SlotRequest):
+        return {
+            "cfg_scale": request.cfg_scale,
+            "cfg_rescale": request.cfg_rescale,
+            # seed is filled by the engine (it draws one if absent)
+        }
 
     def encode(self, requests: list[SlotRequest]):
         """Batch-encode admissions; returns per-request
@@ -125,36 +160,161 @@ class SDXLSlotAdapter:
             (emb[i], emb[n + i], pooled[i], pooled[n + i]) for i in range(n)
         ]
 
-    def init_latents(self, seed: int, max_noise_sigma: float) -> jax.Array:
+    def blank_context(self, num_slots: int):
+        s = num_slots
+        size = jnp.broadcast_to(
+            jnp.asarray([self.height, self.width], jnp.float32), (2 * s, 2)
+        )
+        return {
+            "emb": jnp.zeros((2 * s,) + tuple(self.emb_shape), self.dtype),
+            "pooled": jnp.zeros((2 * s,) + tuple(self.pooled_shape), self.dtype),
+            "original_size": size,
+            "target_size": size,
+            "crop_coords": jnp.zeros((2 * s, 2), jnp.float32),
+        }
+
+    def write_slot(self, ctx, j: int, row):
+        e_pos, e_neg, p_pos, p_neg = row
+        s = ctx["emb"].shape[0] // 2
+        return {
+            **ctx,
+            "emb": ctx["emb"].at[j].set(e_pos).at[s + j].set(e_neg),
+            "pooled": ctx["pooled"].at[j].set(p_pos).at[s + j].set(p_neg),
+        }
+
+    def init_latents(self, request: SlotRequest, seed: int,
+                     sigmas: np.ndarray) -> jax.Array:
         """Slot row (h, w, c) — same stream as batch-1 prepare_latents
-        row 0 (PRNGKey(seed + 0))."""
+        row 0 (PRNGKey(seed + 0)), scaled to the schedule's max sigma."""
         from ..utils import tensor as tensor_utils
 
         noise = tensor_utils.incremental_seed_randn(
             (1,) + self.latent_shape, seed, dtype=self.dtype
         )[0]
-        return noise * max_noise_sigma
+        return noise * self.model.scheduler.get_max_noise_sigma(sigmas)
 
-    # -- device step / decode --------------------------------------------------------
-
-    def slot_step(self, latents, t, sigma, next_sigma, emb, pooled, sizes,
-                  cfg_scale, cfg_rescale, step_seeds, active):
+    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
+                  scalars, active):
         step = self.model._get_jit_slot_step()
-        original, target, crop = sizes
         return step(
             self.model.params["denoiser"], latents, t, sigma, next_sigma,
-            emb, pooled, original, target, crop,
-            cfg_scale, cfg_rescale, step_seeds, active,
+            ctx["emb"], ctx["pooled"], ctx["original_size"],
+            ctx["target_size"], ctx["crop_coords"],
+            scalars["cfg_scale"], scalars["cfg_rescale"],
+            scalars["seed"].astype(jnp.int32), idx, active,
         )
 
-    def make_sizes(self, num_slots: int):
-        """(original_size, target_size, crop_coords), each (2S, 2)."""
-        size = jnp.broadcast_to(
-            jnp.asarray([self.height, self.width], jnp.float32),
-            (2 * num_slots, 2),
+    def decode(self, latent_row: jax.Array):
+        return self.model.decode_image(latent_row[None])[0]
+
+
+class Lumina2SlotAdapter:
+    """Family adapter binding the engine to a Lumina2 (NextDiT) pipeline.
+
+    Flow matching: the per-slot step is a deterministic Euler update
+    (no ancestral seeds), with Lumina2's distinctive CFG features as
+    per-slot vectors — renorm CFG (norm-matching rescale) and CFG
+    truncation (slots below their (i+1)/n > trunc_ratio threshold use
+    the bare positive velocity). Caption features are re-refined every
+    step instead of reusing generate()'s caption cache: the refinement
+    is latent- and time-independent, so the math is identical (the
+    parity test pins it).
+    """
+
+    def __init__(self, model, height: int, width: int,
+                 max_token_length: Optional[int] = None):
+        from ..models.lumina2.text_encoder import DEFAULT_MAX_TOKEN_LENGTH
+
+        self.model = model
+        self.height = height
+        self.width = width
+        self.max_token_length = max_token_length or DEFAULT_MAX_TOKEN_LENGTH
+        ratio = int(model.vae.compression_ratio)
+        self.latent_shape = (
+            height // ratio, width // ratio, model.denoiser.config.in_channels,
         )
-        crop = jnp.zeros((2 * num_slots, 2), jnp.float32)
-        return size, size, crop
+        enc = jax.eval_shape(
+            lambda: model.text_encoder.encode_prompts(
+                model.params["text_encoder"], ["x"], ["y"],
+                use_negative_prompts=True,
+                max_token_length=self.max_token_length,
+            )
+        )
+        self.emb_shape = enc.positive_embeddings.shape[1:]
+        self.mask_dtype = enc.positive_attention_mask.dtype
+        self.dtype = model.dtype
+
+    def schedule(self, request: SlotRequest):
+        n = request.num_inference_steps
+        timesteps = self.model.scheduler.get_timesteps(n)
+        sigmas = self.model.scheduler.get_sigmas(n)
+        return np.asarray(timesteps, np.float32), np.asarray(sigmas, np.float32)
+
+    def scalar_fields(self):
+        return {
+            "cfg_scale": (1.0, np.float32),
+            "renorm_cfg": (1.0, np.float32),
+            "cfg_trunc_ratio": (0.0, np.float32),
+        }
+
+    def request_scalars(self, request: SlotRequest):
+        return {
+            "cfg_scale": request.cfg_scale,
+            "renorm_cfg": request.renorm_cfg,
+            "cfg_trunc_ratio": request.cfg_trunc_ratio,
+        }
+
+    def encode(self, requests: list[SlotRequest]):
+        out = self.model.text_encoder.encode_prompts(
+            self.model.params["text_encoder"],
+            [r.prompt for r in requests],
+            [r.negative_prompt or "" for r in requests],
+            use_negative_prompts=True,
+            max_token_length=self.max_token_length,
+        )
+        pos = out.positive_embeddings.astype(self.dtype)
+        neg = out.negative_embeddings.astype(self.dtype)
+        pos_m = out.positive_attention_mask
+        neg_m = out.negative_attention_mask
+        return [
+            (pos[i], neg[i], pos_m[i], neg_m[i]) for i in range(len(requests))
+        ]
+
+    def blank_context(self, num_slots: int):
+        s = num_slots
+        return {
+            "features": jnp.zeros((2 * s,) + tuple(self.emb_shape), self.dtype),
+            "mask": jnp.zeros((2 * s,) + tuple(self.emb_shape[:-1]),
+                              self.mask_dtype),
+        }
+
+    def write_slot(self, ctx, j: int, row):
+        e_pos, e_neg, m_pos, m_neg = row
+        s = ctx["features"].shape[0] // 2
+        return {
+            "features": ctx["features"].at[j].set(e_pos).at[s + j].set(e_neg),
+            "mask": ctx["mask"].at[j].set(m_pos).at[s + j].set(m_neg),
+        }
+
+    def init_latents(self, request: SlotRequest, seed: int,
+                     sigmas: np.ndarray) -> jax.Array:
+        """Same stream as batch-1 prepare_latents row 0 (pure noise —
+        flow matching starts at sigma=1)."""
+        from ..utils import tensor as tensor_utils
+
+        return tensor_utils.incremental_seed_randn(
+            (1,) + self.latent_shape, seed, dtype=self.dtype
+        )[0]
+
+    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
+                  scalars, active):
+        step = self.model._get_jit_slot_step()
+        return step(
+            self.model.params["denoiser"], latents, t, sigma, next_sigma,
+            ctx["features"], ctx["mask"],
+            scalars["cfg_scale"], scalars["renorm_cfg"],
+            scalars["cfg_trunc_ratio"], idx, total, active,
+        )
 
     def decode(self, latent_row: jax.Array):
         return self.model.decode_image(latent_row[None])[0]
@@ -168,7 +328,7 @@ class ContinuousBatcher:
     the MicroBatcher contract so the server can swap schedulers with a
     flag. Each loop iteration: admit queued requests into free slots
     (one batched text encode per admission group), run ONE jitted
-    ``_slot_step`` over the pool, retire finished slots (batch-1 VAE
+    slot step over the pool, retire finished slots (batch-1 VAE
     decode each). The device program is compiled once per pool shape.
     """
 
@@ -180,19 +340,17 @@ class ContinuousBatcher:
         s = num_slots
         h, w, c = adapter.latent_shape
         self._latents = jnp.zeros((s, h, w, c), adapter.dtype)
-        self._emb = jnp.zeros((2 * s,) + tuple(adapter.emb_shape), adapter.dtype)
-        self._pooled = jnp.zeros((2 * s,) + tuple(adapter.pooled_shape),
-                                 adapter.dtype)
-        self._sizes = adapter.make_sizes(s)
+        self._ctx = adapter.blank_context(s)
 
         # host-side per-slot tables (tiny; gathered into vectors per tick)
         self._t_table = np.zeros((s, max_steps), np.float32)
         self._sig_table = np.zeros((s, max_steps + 1), np.float32)
         self._step_idx = np.zeros(s, np.int64)
         self._total = np.zeros(s, np.int64)
-        self._seeds = np.zeros(s, np.int64)
-        self._cfg = np.ones(s, np.float32)
-        self._crescale = np.zeros(s, np.float32)
+        self._scalars = {
+            name: np.full(s, default, dtype)
+            for name, (default, dtype) in adapter.scalar_fields().items()
+        }
         self._active = np.zeros(s, bool)
         self._pending_by_slot: list[Optional[_Pending]] = [None] * s
 
@@ -239,27 +397,26 @@ class ContinuousBatcher:
         if not group:
             return
         rows = self.adapter.encode([p.request for p in group])
-        s = self.num_slots
-        for pending, (e_pos, e_neg, p_pos, p_neg) in zip(group, rows):
+        for pending, row in zip(group, rows):
             j = free.pop(0)
             r = pending.request
-            t_row, sig_row, max_sig = self.adapter.schedule(r)
+            t_row, sig_row = self.adapter.schedule(r)
             n = len(t_row)
             self._t_table[j, :n] = t_row
             self._sig_table[j, : n + 1] = sig_row
+            self._step_idx[j] = 0
+            self._total[j] = n
+            for name, value in self.adapter.request_scalars(r).items():
+                self._scalars[name][j] = value
             seed = r.seed if r.seed is not None else int(
                 np.random.randint(0, 2**31 - 1)
             )
-            self._seeds[j] = seed
-            self._step_idx[j] = 0
-            self._total[j] = n
-            self._cfg[j] = r.cfg_scale
-            self._crescale[j] = r.cfg_rescale
+            if "seed" in self._scalars:
+                self._scalars["seed"][j] = seed
             self._latents = self._latents.at[j].set(
-                self.adapter.init_latents(seed, max_sig)
+                self.adapter.init_latents(r, seed, sig_row[: n + 1])
             )
-            self._emb = self._emb.at[j].set(e_pos).at[s + j].set(e_neg)
-            self._pooled = self._pooled.at[j].set(p_pos).at[s + j].set(p_neg)
+            self._ctx = self.adapter.write_slot(self._ctx, j, row)
             self._active[j] = True
             self._pending_by_slot[j] = pending
 
@@ -270,15 +427,13 @@ class ContinuousBatcher:
         t = self._t_table[rows, idx]
         sigma = self._sig_table[rows, idx]
         next_sigma = self._sig_table[rows, idx + 1]
-        step_seeds = ((self._seeds + 7919 * (idx + 1)) & 0x7FFFFFFF).astype(
-            np.int32
-        )
         self._latents = self.adapter.slot_step(
-            self._latents,
+            self._latents, self._ctx,
             jnp.asarray(t), jnp.asarray(sigma), jnp.asarray(next_sigma),
-            self._emb, self._pooled, self._sizes,
-            jnp.asarray(self._cfg), jnp.asarray(self._crescale),
-            jnp.asarray(step_seeds), jnp.asarray(self._active),
+            jnp.asarray(idx.astype(np.int32)),
+            jnp.asarray(np.maximum(self._total, 1).astype(np.int32)),
+            {name: jnp.asarray(v) for name, v in self._scalars.items()},
+            jnp.asarray(self._active),
         )
         self._step_idx[self._active] += 1
         done = self._active & (self._step_idx >= self._total)
