@@ -108,8 +108,18 @@ def main() -> None:
     # kernel saves; recompute projections/ff in the backward.
     # --save-qkv re-enables the qkv saves (Lumina2's GQA now tags its
     # pre-repeat k/v, ~141 MB/layer instead of 311) for A/B on-chip.
-    from vision_ft_tpu.nn.core import set_remat_save_ff, set_remat_save_qkv
+    # AuraFlow can't afford even the kernel saves: 36 double blocks x
+    # 108 MB bf16[4,4608,3072] flash outs ~ 3.9 GB on top of the 3.4 GB
+    # NF4 base + f32 LoRA/AdamW state blows 15.75 GB (measured OOM,
+    # r3) — default it to plain full remat; --save-kernel A/Bs it back.
+    from vision_ft_tpu.nn.core import (
+        set_remat_save_ff,
+        set_remat_save_qkv,
+        set_remat_saves,
+    )
 
+    if family == "auraflow" and "--save-kernel" not in argv:
+        set_remat_saves("none")
     set_remat_save_qkv("--save-qkv" in argv)
     set_remat_save_ff("--save-ff" in argv)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
