@@ -312,3 +312,51 @@ def test_deepcache_forward():
         bad, latent, text, t, cached_delta=delta, refresh=False
     )
     assert np.isfinite(np.asarray(clean)).all()
+
+
+def test_remat_group_grad_equality():
+    """Grouped remat (nn.core.set_remat_group) is a memory knob, not a
+    math change: grads of a LoRA-style loss through the double+single
+    stacks are identical for group sizes 1, 2 (uneven 2+1 chunking of 3
+    single layers), and no-checkpointing."""
+    from vision_ft_tpu.nn.core import set_remat_group
+
+    cfg = dict(TINY, num_single_layers=3)
+    ours = Denoiser(DenoiserConfig(**cfg))
+    params = ours.init(jax.random.PRNGKey(1), jnp.float32)
+    params["final_linear"]["weight"] = (
+        jax.random.normal(jax.random.PRNGKey(2),
+                          params["final_linear"]["weight"].shape) * 0.05
+    )
+    rng = np.random.default_rng(5)
+    latent = jnp.asarray(rng.standard_normal((2, 16, 16, 4), np.float32))
+    text = jnp.asarray(rng.standard_normal((2, 6, 48), np.float32))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+
+    def loss(p):
+        return jnp.sum(ours(p, latent, text, t) ** 2)
+
+    def grads():
+        # re-trace each call: remat_group is a trace-time global
+        return jax.grad(loss)(params)
+
+    ours.set_gradient_checkpointing(False)
+    base = grads()
+    try:
+        ours.set_gradient_checkpointing(True)
+        g1 = grads()
+        set_remat_group(2)
+        g2 = grads()
+        set_remat_group(5)  # > stack depth: one chunk per stack
+        g5 = grads()
+    finally:
+        set_remat_group(1)
+        ours.set_gradient_checkpointing(False)
+
+    for got in (g1, g2, g5):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            ),
+            base, got,
+        )

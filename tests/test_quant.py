@@ -302,3 +302,34 @@ def test_4bit_padded_and_odd_shapes_dequantize():
         # per-element NF4 error is <= absmax * (largest grid gap)/2 ~ 0.14;
         # a wrong-block scale (the regression) lands far outside this
         assert np.abs(deq - w).max() < 0.17 * np.abs(w).max() + 1e-6, shape
+
+
+def test_nf4_text_encoder_forward():
+    """The big text-encoder towers can run NF4-quantized (the single-chip
+    posture for auraflow_nf4/flux_nf4 generate, where bf16 UMT5/T5-XXL
+    doesn't fit HBM next to the quantized denoiser): quantizing the q/k/v/
+    o + wi/wo Linears of a tiny UMT5 keeps the encoding close to bf16."""
+    from vision_ft_tpu.models.text_encoders.umt5 import (
+        UMT5Config,
+        UMT5EncoderModel,
+    )
+
+    cfg = UMT5Config(vocab_size=128, d_model=64, d_kv=16, d_ff=128,
+                     num_layers=2, num_heads=4)
+    enc = UMT5EncoderModel(cfg)
+    params = enc.init(jax.random.PRNGKey(0))
+    qparams = quantize_params(
+        params, "bnb_nf4",
+        include_keys=["SelfAttention.q", "SelfAttention.k",
+                      "SelfAttention.v", "SelfAttention.o",
+                      "wi_0", "wi_1", "wo"],
+    )
+    # the embedding and relative-bias tables must stay unquantized
+    assert "packed" not in str(jax.tree_util.tree_structure(qparams["shared"]))
+    ids = jnp.asarray([[3, 5, 7, 2, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    y_fp = enc(params, ids, mask)
+    y_q = enc(qparams, ids, mask)
+    assert np.isfinite(np.asarray(y_q)).all()
+    rel = float(jnp.abs(y_q - y_fp).max() / (jnp.abs(y_fp).max() + 1e-9))
+    assert rel < 0.25, f"nf4 text encoder rel={rel}"

@@ -86,12 +86,13 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
             tokenizer=MockHFTokenizer(),
         )
         kwargs = dict(width=1024, height=1024, num_inference_steps=20, cfg_scale=4.0)
-        if name.endswith("_nf4"):
-            # UMT5-XXL (4.7B bf16 = 9.4 GB) resident next to the NF4
-            # denoiser + 1024px CFG activations exceeded HBM on-chip
-            # (RESOURCE_EXHAUSTED, r3): stage encode/denoise/decode like
-            # flux_nf4 does
-            kwargs["do_offloading"] = True
+        # NF4 posture: quantize the UMT5-XXL text encoder too (4.7B bf16
+        # = 9.4 GB resident next to the NF4 denoiser OOM'd; staged offload
+        # "works" but the axon tunnel's host<->device bandwidth turned the
+        # ~26 GB of per-generate param migration into 609 s on-chip, r3).
+        # NF4 UMT5 is 2.35 GB -> everything stays HBM-resident, zero
+        # transfers. On a 24 GB part the reference keeps the TE bf16; same
+        # trade, different HBM budget.
         if deep_cache:
             kwargs["deep_cache_interval"] = deep_cache
     elif base == "lumina2":
@@ -139,13 +140,14 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
             clip_tokenizer=MockCLIPTok(), t5_tokenizer=MockHFTokenizer(),
         )
         # flux1-dev is 12B: bf16 denoiser alone exceeds 16 GB HBM, so only
-        # the NF4 variant is benchable — and only with the staged offload
-        # path (T5-XXL encode and the denoise loop never resident together)
+        # the NF4 variant is benchable. NF4 denoiser (6 GB) + NF4 T5-XXL
+        # (2.35 GB) + bf16 CLIP/VAE all fit HBM together — no offload
+        # staging (the axon tunnel makes per-generate param migration
+        # pathologically slow; see the auraflow_nf4 posture note)
         if not name.endswith("_nf4"):
             raise SystemExit("flux is benchable as flux_nf4 only (12B bf16 > 16 GB)")
         kwargs = dict(width=1024, height=1024, num_inference_steps=20,
-                      cfg_scale=1.0, distilled_guidance_scale=3.5,
-                      do_offloading=True)
+                      cfg_scale=1.0, distilled_guidance_scale=3.5)
         if deep_cache:
             kwargs["deep_cache_interval"] = deep_cache
     else:
@@ -176,6 +178,24 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
             "flux": ["qkv", ".proj", "linear1", "linear2",
                      "img_mlp", "txt_mlp", "img_attn", "txt_attn"],
         }.get(base, ["attn", "c_fc1", "c_fc2", "c_proj", "linear_1", "linear_2"])
+        # auraflow_nf4: quantize the XXL text encoder's big Linears too so
+        # the whole pipeline is HBM-resident (see posture note above)
+        te_nf4_keys = {
+            "auraflow": ["SelfAttention.q", "SelfAttention.k",
+                         "SelfAttention.v", "SelfAttention.o",
+                         "wi_0", "wi_1", "wo"],
+            # flux: quantize the T5 tower (same UMT5 key layout under
+            # "t5."); CLIP (250 MB bf16) stays bf16
+            "flux": ["SelfAttention.q", "SelfAttention.k",
+                     "SelfAttention.v", "SelfAttention.o",
+                     "wi_0", "wi_1", "wo"],
+        }.get(base)
+        if te_nf4_keys is not None:
+            te_params = quantize_params_zeros(abstract["text_encoder"], te_nf4_keys)
+        else:
+            te_params = jax.tree.map(
+                lambda a: np.zeros(a.shape, a.dtype), abstract["text_encoder"]
+            )
         model.params = {
             "denoiser": jax.device_put(
                 quantize_params_zeros(abstract["denoiser"], nf4_keys),
@@ -184,12 +204,7 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
             "vae": jax.device_put(
                 jax.tree.map(lambda a: np.zeros(a.shape, a.dtype), abstract["vae"]), dev
             ),
-            "text_encoder": jax.device_put(
-                jax.tree.map(
-                    lambda a: np.zeros(a.shape, a.dtype), abstract["text_encoder"]
-                ),
-                dev,
-            ),
+            "text_encoder": jax.device_put(te_params, dev),
         }
     else:
         model.init_params(jax.random.PRNGKey(0))

@@ -29,6 +29,7 @@ def main() -> None:
     family = "lumina2"
     batch, res = 4, 1024
     profile_dir = None
+    remat_group = 1
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a in ("auraflow", "lumina2"):
@@ -39,6 +40,8 @@ def main() -> None:
             res = int(argv[i + 1])
         elif a == "--profile":
             profile_dir = argv[i + 1]
+        elif a == "--remat-group":
+            remat_group = int(argv[i + 1])
 
     cache_dir = os.path.join(_REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -122,6 +125,10 @@ def main() -> None:
         set_remat_saves("none")
     set_remat_save_qkv("--save-qkv" in argv)
     set_remat_save_ff("--save-ff" in argv)
+    if remat_group > 1:
+        from vision_ft_tpu.nn.core import set_remat_group
+
+        set_remat_group(remat_group)
     abstract = jax.eval_shape(lambda k: denoiser.init(k, jnp.bfloat16), key)
     if quantize_base:
         # 6.8B bf16 zeros would fill the 16 GB chip (and packing zeros

@@ -97,10 +97,26 @@ def parse_line(buf: bytes) -> tuple[str, list[bytes]]:
     return name, events
 
 
-def parse_event_metadata(buf: bytes) -> tuple[int, str]:
+def parse_stat(buf: bytes) -> tuple[int, object]:
+    """XStat { int64 metadata_id=1; double=2 / uint64=3 / int64=4 /
+    string=5 / bytes=6 / uint64 ref=7 }."""
+    mid = 0
+    val: object = None
+    for field, wire, v in iter_fields(buf):
+        if field == 1:
+            mid = v
+        elif field == 5:
+            val = v.decode("utf-8", "replace")
+        elif field in (2, 3, 4, 6, 7):
+            val = v
+    return mid, val
+
+
+def parse_event_metadata(buf: bytes) -> tuple[int, str, str, list[bytes]]:
     mid = 0
     name = ""
     display = ""
+    stats: list[bytes] = []
     for field, _, val in iter_fields(buf):
         if field == 1:
             mid = val
@@ -108,13 +124,23 @@ def parse_event_metadata(buf: bytes) -> tuple[int, str]:
             name = val.decode("utf-8", "replace")
         elif field == 4:
             display = val.decode("utf-8", "replace")
-    return mid, display or name
+        elif field == 5:
+            stats.append(val)
+    return mid, display or name, name, stats
 
 
 def parse_plane(buf: bytes):
+    """Returns (plane_name, line_bufs, {event_metadata_id: OpMeta}).
+
+    OpMeta is (display_name, hlo_category, source, full_hlo_text) — the
+    category and source come from the XEventMetadata's XStat list, keyed
+    through the plane's stat_metadata name table ('hlo_category',
+    'source'); the full HLO text (field 2, the instruction dump with
+    shapes) is kept for --hlo inspection of the top ops."""
     name = ""
     lines: list[bytes] = []
-    metadata: dict[int, str] = {}
+    raw_meta: dict[int, bytes] = {}
+    stat_names: dict[int, str] = {}
     for field, _, val in iter_fields(buf):
         if field == 2:
             name = val.decode("utf-8", "replace")
@@ -129,8 +155,33 @@ def parse_plane(buf: bytes):
                     key = v2
                 elif f2 == 2:
                     meta = v2
-            mid, mname = parse_event_metadata(meta)
-            metadata[key or mid] = mname
+            raw_meta[key] = meta
+        elif field == 5:
+            # map entry { int64 key=1; XStatMetadata value=2; }
+            key = 0
+            meta = b""
+            for f2, _, v2 in iter_fields(val):
+                if f2 == 1:
+                    key = v2
+                elif f2 == 2:
+                    meta = v2
+            sname = ""
+            for f3, _, v3 in iter_fields(meta):
+                if f3 == 2:
+                    sname = v3.decode("utf-8", "replace")
+            stat_names[key] = sname
+    metadata: dict[int, tuple[str, str, str, str]] = {}
+    for key, meta in raw_meta.items():
+        mid, mname, full, stats = parse_event_metadata(meta)
+        cat = src = ""
+        for sbuf in stats:
+            smid, sval = parse_stat(sbuf)
+            sname = stat_names.get(smid, "")
+            if sname == "hlo_category" and isinstance(sval, str):
+                cat = sval
+            elif sname == "source" and isinstance(sval, str):
+                src = sval
+        metadata[key or mid] = (mname, cat, src, full)
     return name, lines, metadata
 
 
@@ -156,10 +207,12 @@ def categorize(op: str) -> str:
 
 
 def collect(path: str, device_only: bool = True):
+    """Aggregate device-plane 'XLA Ops' self time per op.
+
+    Returns {op_name: (ms, count, hlo_category, source, full_hlo)}."""
     with open(path, "rb") as f:
         space = f.read()
-    per_op: dict[str, float] = defaultdict(float)
-    per_op_count: dict[str, int] = defaultdict(int)
+    per_op: dict[str, list] = {}
     for field, _, plane_buf in iter_fields(space):
         if field != 1:
             continue
@@ -175,10 +228,11 @@ def collect(path: str, device_only: bool = True):
                 continue
             for ev in events:
                 mid, dur_ps = parse_event(ev)
-                op = metadata.get(mid, f"op#{mid}")
-                per_op[op] += dur_ps / 1e9  # ps -> ms
-                per_op_count[op] += 1
-    return per_op, per_op_count
+                name, cat, src, full = metadata.get(mid, (f"op#{mid}", "", "", ""))
+                row = per_op.setdefault(name, [0.0, 0, cat, src, full])
+                row[0] += dur_ps / 1e9  # ps -> ms
+                row[1] += 1
+    return per_op
 
 
 def find_xplane(path: str) -> str:
@@ -193,25 +247,42 @@ def find_xplane(path: str) -> str:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     top = 40
+    show_hlo = "--hlo" in sys.argv
+    by_source = "--by-source" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--top"):
             top = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
     path = find_xplane(args[0] if args else "/tmp/jax_trace")
-    per_op, per_op_count = collect(path)
+    per_op = collect(path)
 
-    total = sum(per_op.values())
+    total = sum(row[0] for row in per_op.values())
     by_cat: dict[str, float] = defaultdict(float)
-    for op, ms in per_op.items():
-        by_cat[categorize(op)] += ms
+    for op, (ms, _, cat, _, _) in per_op.items():
+        by_cat[cat or categorize(op)] += ms
 
     print(f"xplane: {path}")
     print(f"total device op time: {total:.2f} ms\n")
-    print("by category:")
+    print("by hlo category:")
     for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:<22} {ms:9.2f} ms  {100 * ms / total:5.1f}%")
+        print(f"  {cat:<28} {ms:9.2f} ms  {100 * ms / total:5.1f}%")
+
+    if by_source:
+        by_src: dict[str, float] = defaultdict(float)
+        for op, (ms, _, _, src, _) in per_op.items():
+            by_src[src or "<no source>"] += ms
+        print(f"\ntop {top} source lines:")
+        for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ms:9.3f} ms  {src[:130]}")
+        return
+
     print(f"\ntop {top} ops:")
-    for op, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"  {ms:9.3f} ms  x{per_op_count[op]:<5} {op[:110]}")
+    for op, (ms, n, cat, src, full) in sorted(
+        per_op.items(), key=lambda kv: -kv[1][0]
+    )[:top]:
+        loc = f"  [{src.rsplit('/', 1)[-1]}]" if src else ""
+        print(f"  {ms:9.3f} ms  x{n:<5} {cat:<18} {op[:80]}{loc}")
+        if show_hlo:
+            print(f"      {full[:360]}")
 
 
 if __name__ == "__main__":

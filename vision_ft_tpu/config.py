@@ -87,6 +87,11 @@ class TrainerConfig(BaseModel):
     #   "kernel"      — only the flash (out,lse) kernel outputs
     #   "none"        — plain full remat (memory-tightest; 6.8B+ bases)
     remat_saves: Literal["activations", "kernel", "none"] = "activations"
+    # checkpoint uniform layer stacks in groups of N layers (nn.core.
+    # set_remat_group): same recompute FLOPs, ÷N inter-layer boundary
+    # saves, ×N backward working set — the fit for 6.8B+ stacks whose
+    # per-layer boundaries alone exceed HBM (e.g. AuraFlow b4 @1024px)
+    remat_group: int = 1
     gradient_accumulation_steps: int = 1
 
     clip_grad_norm: Optional[float] = None

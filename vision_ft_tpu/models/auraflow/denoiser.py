@@ -32,7 +32,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
-from ...nn.core import remat_layer, save_name
+from ...nn.core import remat_layer, run_remat_stack, save_name
 from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
@@ -503,13 +503,13 @@ class MMDiT(Module):
                           start: int = 0, end: Optional[int] = None):
         """Single (joint-sequence) layers [start, end) as a plain stack."""
         end = len(self.single_layers) if end is None else end
-        for i in range(start, end):
-            layer = self.single_layers[i]
-            fn = lambda p, c: layer(p, c, global_cond, rope_freqs)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            context = fn(params["single_layers"][str(i)], context)
-        return context
+        return run_remat_stack(
+            lambda layer, p, c: layer(p, c, global_cond, rope_freqs),
+            self.single_layers[start:end],
+            [params["single_layers"][str(i)] for i in range(start, end)],
+            context,
+            self.gradient_checkpointing,
+        )
 
     def _finish(self, params, patches, global_cond, height: int, width: int):
         """Final modulation + projection + unpatchify (steps 6-7)."""
@@ -561,11 +561,13 @@ class MMDiT(Module):
             )
             cond_tokens, patches = out["c"], out["x"]
         else:
-            for i, layer in enumerate(self.double_layers):
-                fn = lambda p, c, x: layer(p, c, x, global_cond, rope_freqs)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                cond_tokens, patches = fn(params["double_layers"][str(i)], cond_tokens, patches)
+            cond_tokens, patches = run_remat_stack(
+                lambda layer, p, cx: layer(p, cx[0], cx[1], global_cond, rope_freqs),
+                self.double_layers,
+                [params["double_layers"][str(i)] for i in range(len(self.double_layers))],
+                (cond_tokens, patches),
+                self.gradient_checkpointing,
+            )
 
         # 5. single layers over the joint sequence
         if self.single_layers:

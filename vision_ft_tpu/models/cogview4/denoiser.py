@@ -19,7 +19,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.timestep.embedding import TimestepEmbedding, get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, split_keys
-from ...nn.core import remat_layer, save_name
+from ...nn.core import remat_layer, run_remat_stack, save_name
 from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
@@ -312,18 +312,16 @@ class CogView4DiT(Module):
 
     def _run_blocks_range(self, params, hidden_states, encoder_hidden_states,
                           global_cond, rope_freqs, start: int = 0, end=None):
-        """Transformer blocks [start, end) as a plain stack."""
+        """Transformer blocks [start, end) as a plain stack, checkpointed
+        in groups of nn.core.remat_group() layers."""
         end = len(self.transformer_blocks) if end is None else end
-        for i in range(start, end):
-            block = self.transformer_blocks[i]
-            fn = lambda pp, h, c: block(pp, h, c, global_cond, rope_freqs)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            hidden_states, encoder_hidden_states = fn(
-                params["transformer_blocks"][str(i)], hidden_states,
-                encoder_hidden_states,
-            )
-        return hidden_states, encoder_hidden_states
+        return run_remat_stack(
+            lambda block, pp, hc: block(pp, hc[0], hc[1], global_cond, rope_freqs),
+            self.transformer_blocks[start:end],
+            [params["transformer_blocks"][str(i)] for i in range(start, end)],
+            (hidden_states, encoder_hidden_states),
+            self.gradient_checkpointing,
+        )
 
     def _finish(self, params, hidden_states, global_cond, height: int, width: int):
         p = self.patch_size

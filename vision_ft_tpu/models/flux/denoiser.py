@@ -20,7 +20,7 @@ import numpy as np
 from ...modules.patch import patchify, unpatchify_cmajor
 from ...modules.positional_encoding.rope import RoPEFrequency, apply_rope_qk
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer, save_name
+from ...nn.core import remat_layer, run_remat_stack, save_name
 from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
@@ -359,15 +359,16 @@ class Flux(Module):
         return img, txt, vec, pe, height, width
 
     def _run_single_range(self, params, x, vec, pe, start: int = 0, end=None):
-        """Single (joint-sequence) blocks [start, end) as a plain stack."""
+        """Single (joint-sequence) blocks [start, end) as a plain stack,
+        checkpointed in groups of nn.core.remat_group() layers."""
         end = len(self.single_blocks) if end is None else end
-        for i in range(start, end):
-            block = self.single_blocks[i]
-            fn = lambda pp, xx: block(pp, xx, vec, pe)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            x = fn(params["single_blocks"][str(i)], x)
-        return x
+        return run_remat_stack(
+            lambda block, pp, xx: block(pp, xx, vec, pe),
+            self.single_blocks[start:end],
+            [params["single_blocks"][str(i)] for i in range(start, end)],
+            x,
+            self.gradient_checkpointing,
+        )
 
     def _finish(self, params, img, vec, height: int, width: int):
         p = self.patch_size
@@ -408,11 +409,13 @@ class Flux(Module):
             )
             img, txt = out["img"], out["txt"]
         else:
-            for i, block in enumerate(self.double_blocks):
-                fn = lambda pp, im, tx: block(pp, im, tx, vec, pe)
-                if self.gradient_checkpointing:
-                    fn = remat_layer(fn)
-                img, txt = fn(params["double_blocks"][str(i)], img, txt)
+            img, txt = run_remat_stack(
+                lambda block, pp, it: block(pp, it[0], it[1], vec, pe),
+                self.double_blocks,
+                [params["double_blocks"][str(i)] for i in range(len(self.double_blocks))],
+                (img, txt),
+                self.gradient_checkpointing,
+            )
 
         x = jnp.concatenate([txt, img], axis=1)
         if pipe is not None and len(self.single_blocks) % pipe[0].shape[pipe[2]] == 0:

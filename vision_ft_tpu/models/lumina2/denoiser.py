@@ -36,7 +36,7 @@ import numpy as np
 from ...modules.patch import unpatchify
 from ...modules.timestep.embedding import get_timestep_embedding
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer, save_name
+from ...nn.core import remat_layer, run_remat_stack, save_name
 from ...ops.attention import scaled_dot_product_attention
 from .config import DenoiserConfig
 
@@ -443,15 +443,16 @@ class NextDiT(Module):
 
     def _run_main_layers(self, layer_params, context, joint_freqs, t_emb,
                          joint_mask, start=0, end=None):
-        """Main layers [start, end) as a plain (unpipelined) stack."""
-        for i, layer in enumerate(self.layers):
-            if i < start or (end is not None and i >= end):
-                continue
-            fn = lambda pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask)
-            if self.gradient_checkpointing:
-                fn = remat_layer(fn)
-            context = fn(layer_params[str(i)], context)
-        return context
+        """Main layers [start, end) as a plain (unpipelined) stack,
+        checkpointed in groups of nn.core.remat_group() layers."""
+        end = len(self.layers) if end is None else end
+        return run_remat_stack(
+            lambda layer, pp, c: layer(pp, c, joint_freqs, t_emb, joint_mask),
+            self.layers[start:end],
+            [layer_params[str(i)] for i in range(start, end)],
+            context,
+            self.gradient_checkpointing,
+        )
 
     def _finish(self, params, context, t_emb, cap_len, hp, wp):
         """Final layer + unpatchify (steps 7-8)."""

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...nn import LayerNorm, Linear, Module, ModuleDict, RMSNorm, split_keys
-from ...nn.core import remat_layer, save_name
+from ...nn.core import remat_layer, run_remat_stack, save_name
 from ...ops.attention import attention_heads_packed
 from .config import DenoiserConfig
 
@@ -420,14 +420,16 @@ class DiT(Module):
 
     def _run_blocks_range(self, params, x, timestep_embed, rope, ctx,
                           start: int = 0, end=None):
-        """Blocks [start, end) as a plain stack."""
+        """Blocks [start, end) as a plain stack, checkpointed in groups
+        of nn.core.remat_group() layers."""
         end = len(self.blocks) if end is None else end
-        for i in range(start, end):
-            apply = self.blocks[i].__call__
-            if self.gradient_checkpointing:
-                apply = remat_layer(apply)
-            x = apply(params["blocks"][str(i)], x, timestep_embed, rope, ctx)
-        return x
+        return run_remat_stack(
+            lambda block, pp, xx: block(pp, xx, timestep_embed, rope, ctx),
+            self.blocks[start:end],
+            [params["blocks"][str(i)] for i in range(start, end)],
+            x,
+            self.gradient_checkpointing,
+        )
 
     def __call__(
         self,

@@ -165,6 +165,31 @@ def set_remat_save_ff(enabled: bool) -> None:
     _REMAT_SAVE_FF[0] = enabled
 
 
+_REMAT_GROUP: list[int] = [1]
+
+
+def set_remat_group(group: int) -> None:
+    """Trace-time knob: checkpoint uniform layer stacks in groups of
+    ``group`` layers instead of one remat block per layer. Backward
+    recompute FLOPs are identical (every layer is recomputed exactly
+    once either way); what changes is memory shape — boundary saves
+    shrink by the group factor (one saved stream per group instead of
+    per layer) while the backward's live working set grows ~group
+    layer-intermediates. The fit for big uniform stacks on a small
+    HBM: AuraFlow b4@1024 keeps 36 x 102 MB boundaries with group=1,
+    which OOMs a 16 GB chip next to its 3.4 GB NF4 base."""
+    if group < 1:
+        raise ValueError(f"remat group must be >= 1, got {group}")
+    _REMAT_GROUP[0] = group
+
+
+def remat_group() -> int:
+    return _REMAT_GROUP[0]
+
+
+register_trace_flag("remat_group", remat_group)
+
+
 def save_name(x, name: str):
     """Tag ``x`` with a checkpoint name so remat_layer policies can
     choose to save it across the forward/backward boundary."""
@@ -192,6 +217,31 @@ def remat_layer(fn):
     return jax.checkpoint(
         fn, policy=jax.checkpoint_policies.save_only_these_names(*names)
     )
+
+
+def run_remat_stack(apply_fn, layers, params_list, carry, enabled: bool):
+    """Run a uniform layer stack ``carry = apply_fn(layer, p, carry)``,
+    gradient-checkpointed in groups of :func:`remat_group` layers when
+    ``enabled``. With group=1 this is exactly the classic one-remat-per-
+    layer loop; larger groups trade backward working set for fewer saved
+    inter-layer boundary streams (see :func:`set_remat_group`)."""
+    if not enabled:
+        for layer, p in zip(layers, params_list):
+            carry = apply_fn(layer, p, carry)
+        return carry
+    g = remat_group()
+    i, n = 0, len(layers)
+    while i < n:
+        j = min(i + g, n)
+
+        def chunk_fn(ps, c, _sub=tuple(layers[i:j])):
+            for layer, p in zip(_sub, ps):
+                c = apply_fn(layer, p, c)
+            return c
+
+        carry = remat_layer(chunk_fn)(list(params_list[i:j]), carry)
+        i = j
+    return carry
 
 
 _PEFT_ENABLED: list[bool] = [True]

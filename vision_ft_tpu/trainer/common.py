@@ -78,9 +78,10 @@ class Trainer:
         self.debug_mode: DEBUG_MODE_TYPE = config.trainer.debug_mode
         self.gradient_accumulation_steps = config.trainer.gradient_accumulation_steps
 
-        from ..nn.core import set_remat_saves
+        from ..nn.core import set_remat_group, set_remat_saves
 
         set_remat_saves(config.trainer.remat_saves)
+        set_remat_group(config.trainer.remat_group)
 
         mesh_cfg = config.trainer.mesh
         self.mesh = make_mesh(
