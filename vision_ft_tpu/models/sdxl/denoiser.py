@@ -116,6 +116,31 @@ class CrossAttention(ModuleDict):
         return self["to_out"]["0"](params["to_out"]["0"], attn)
 
 
+def _fused_ff_applies(p1, p2, x) -> bool:
+    """Route the GeGLU ff through the fused Pallas kernel
+    (ops/pallas/fused_mlp) when it is a pure bf16 dense ff on TPU: plain
+    (non-quantized, adapter-free) weights with biases, lane-aligned
+    shapes. Anything else — LoRA/LoHa deltas, NF4/fp8/W8A8 subtrees,
+    fp32 golden-parity runs — keeps the XLA path, whose split/gelu
+    numerics the parity suite pins. VFT_FUSED_FF=1 enables (A/B lever;
+    default flips on once the on-chip A/B confirms the win)."""
+    import os
+
+    if os.environ.get("VFT_FUSED_FF", "0") == "0":
+        return False
+    if x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
+        return False
+    for p in (p1, p2):
+        if isinstance(p.get("weight"), dict) or "bias" not in p:
+            return False
+        if "lora_down" in p or "hada_w1_a" in p:
+            return False
+    from ...ops.pallas.fused_mlp import supported
+
+    c, inner = p2["weight"].shape
+    return x.shape[-1] == c and supported(c, inner)
+
+
 class FeedForward(ModuleDict):
     """GeGLU feed-forward: net.0.proj (2x fused gate) -> gelu-gate -> net.2."""
 
@@ -134,6 +159,11 @@ class FeedForward(ModuleDict):
 
     def __call__(self, params, x):
         net = params["net"]
+        p1, p2 = net["0"]["proj"], net["2"]
+        if _fused_ff_applies(p1, p2, x):
+            from ...ops.pallas.fused_mlp import geglu_mlp
+
+            return geglu_mlp(x, p1["weight"], p1["bias"], p2["weight"], p2["bias"])
         h = self["net"]["0"]["proj"](net["0"]["proj"], x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) GELU in fp32 for golden parity with torch F.gelu;
