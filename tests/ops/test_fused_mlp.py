@@ -11,7 +11,9 @@ import numpy as np
 import pytest
 
 from vision_ft_tpu.ops.pallas.fused_mlp import (
+    _gated_ref,
     _geglu_ref,
+    gated_mlp,
     geglu_mlp,
     supported,
 )
@@ -76,6 +78,49 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(
             gf.reshape(gr.shape), gr, rtol=1e-4, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu_tanh"])
+def test_swiglu_split_weights(act):
+    # the Lumina2/AuraFlow layout: separate act/gate projections, no bias
+    c, inner = 256, 768
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.normal(k1, (2, 130, c), jnp.float32) * 0.5  # ragged M
+    wa = jax.random.normal(k2, (inner, c), jnp.float32) * 0.05
+    wg = jax.random.normal(k3, (inner, c), jnp.float32) * 0.05
+    wd = jax.random.normal(k4, (c, inner), jnp.float32) * 0.05
+    got = gated_mlp(x, wa, wg, wd, act=act, interpret=True)
+    z = jnp.zeros((inner,))
+    want = _gated_ref(
+        x.reshape(-1, c), wa, z, wg, z, wd, jnp.zeros((c,)), act
+    ).reshape(x.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_swiglu_grads():
+    c, inner = 128, 512
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.normal(k1, (1, 64, c)) * 0.5
+    wa = jax.random.normal(k2, (inner, c)) * 0.05
+    wg = jax.random.normal(k3, (inner, c)) * 0.05
+    wd = jax.random.normal(k4, (c, inner)) * 0.05
+    z = jnp.zeros((inner,))
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(gated_mlp(*a, act="silu", interpret=True) ** 2),
+        argnums=(0, 1, 2, 3),
+    )(x, wa, wg, wd)
+    g_ref = jax.grad(
+        lambda x, wa, wg, wd: jnp.sum(
+            _gated_ref(x.reshape(-1, c), wa, z, wg, z, wd, jnp.zeros((c,)),
+                       "silu") ** 2
+        ),
+        argnums=(0, 1, 2, 3),
+    )(x, wa, wg, wd)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(gf, gr, rtol=1e-4, atol=1e-4)
 
 
 def test_supported_shapes():

@@ -66,6 +66,11 @@ class AuraMLP(ModuleDict):
             hidden_dim = 4 * input_dim
         n_hidden = find_multiple(int(2 * hidden_dim / 3), 256)
         self.act = _act(hidden_act)
+        # fused-kernel activation name (None = act not fusable)
+        self.act_name = {
+            "silu": "silu", "swish": "silu",
+            "gelu": "gelu", "gelu_new": "gelu_tanh",
+        }.get(hidden_act)
         super().__init__(
             {
                 "c_fc1": Linear(input_dim, n_hidden, bias=False),
@@ -75,6 +80,28 @@ class AuraMLP(ModuleDict):
         )
 
     def __call__(self, params, x):
+        from ...ops.pallas.fused_mlp import fused_ff_enabled, gated_mlp, supported
+
+        c, inner = params["c_proj"]["weight"].shape if not isinstance(
+            params["c_proj"]["weight"], dict
+        ) else (0, 0)
+        if (
+            self.act_name is not None
+            and fused_ff_enabled(
+                x, params["c_fc1"], params["c_fc2"], params["c_proj"]
+            )
+            and x.shape[-1] == c
+            and supported(c, inner)
+        ):
+            # fused Pallas SwiGLU: both up-projections, the act gate and
+            # the down-projection in one VMEM-resident kernel
+            return gated_mlp(
+                x,
+                w_act=params["c_fc1"]["weight"],
+                w_gate=params["c_fc2"]["weight"],
+                w_down=params["c_proj"]["weight"],
+                act=self.act_name,
+            )
         h1 = self.act(self["c_fc1"](params["c_fc1"], x))
         h2 = self["c_fc2"](params["c_fc2"], x)
         # saved under remat_layer's activation policy (c_proj's input)

@@ -157,6 +157,25 @@ class FeedForward(ModuleDict):
         )
 
     def __call__(self, params, x):
+        from ...ops.pallas.fused_mlp import fused_ff_enabled, gated_mlp, supported
+
+        c, inner = params["w2"]["weight"].shape if not isinstance(
+            params["w2"]["weight"], dict
+        ) else (0, 0)
+        if (
+            fused_ff_enabled(x, params["w1"], params["w2"], params["w3"])
+            and x.shape[-1] == c
+            and supported(c, inner)
+        ):
+            # fused Pallas SwiGLU: both up-projections, the silu gate and
+            # the down-projection in one VMEM-resident kernel
+            return gated_mlp(
+                x,
+                w_act=params["w1"]["weight"],
+                w_gate=params["w3"]["weight"],
+                w_down=params["w2"]["weight"],
+                act="silu",
+            )
         gate = self["w3"](params["w3"], x)
         h = jax.nn.silu(self["w1"](params["w1"], x)) * gate
         # saved under remat_layer's activation policy (down-proj input)

@@ -124,18 +124,12 @@ def _fused_ff_applies(p1, p2, x) -> bool:
     fp32 golden-parity runs — keeps the XLA path, whose split/gelu
     numerics the parity suite pins. VFT_FUSED_FF=1 enables (A/B lever;
     default flips on once the on-chip A/B confirms the win)."""
-    import os
+    from ...ops.pallas.fused_mlp import fused_ff_enabled, supported
 
-    if os.environ.get("VFT_FUSED_FF", "0") == "0":
+    if not fused_ff_enabled(x, p1, p2):
         return False
-    if x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
+    if "bias" not in p1 or "bias" not in p2:
         return False
-    for p in (p1, p2):
-        if isinstance(p.get("weight"), dict) or "bias" not in p:
-            return False
-        if "lora_down" in p or "hada_w1_a" in p:
-            return False
-    from ...ops.pallas.fused_mlp import supported
 
     c, inner = p2["weight"].shape
     return x.shape[-1] == c and supported(c, inner)
