@@ -239,7 +239,7 @@ def _bwd_dq_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k):
 
 
 def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual,
-                    has_bias, block_q, fuse_dq=False):
+                    sk_pad, has_bias, block_q, fuse_dq=False):
     """BHSD backward dk/dv pass; with ``fuse_dq`` it is the one-pass
     backward: dq accumulates into a grid-persistent f32 output (see
     _bwd_dkvq_kernel_bshd — same trick: the dq block's index map is
@@ -275,17 +275,24 @@ def _bwd_dkv_kernel(*refs, scale, causal, sq_actual, sq_pad, sk_actual,
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK)
-        # note: ki/qb swap roles vs the dq kernel in _masked_scores
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+        # note: ki/qb swap roles vs the dq kernel in _masked_scores.
+        # Padding masks are built only when padding exists (sk_actual <
+        # sk_pad etc.) — on the block-aligned train shapes the iota+where
+        # passes are pure VPU overhead in the hot loop.
+        if sk_actual < sk_pad or causal:
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            if sk_actual < sk_pad:
+                s = jnp.where(k_pos < sk_actual, s, NEG_INF)
         if bias_row is not None:
             s = s + bias_row[None, :]
-        q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        if causal or sq_actual < sq_pad:
+            q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         if causal:
             s = jnp.where(k_pos <= q_pos, s, NEG_INF)
         p = jnp.exp(s - lse_blk[:, None])
-        # zero padded q rows (their lse is garbage)
-        p = jnp.where(q_pos < sq_actual, p, 0.0)
+        if sq_actual < sq_pad:
+            # zero padded q rows (their lse is garbage)
+            p = jnp.where(q_pos < sq_actual, p, 0.0)
         dv = dv + jax.lax.dot_general(
             p.astype(do_blk.dtype), do_blk,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -438,7 +445,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
             functools.partial(
                 _bwd_dkv_kernel, scale=scale, causal=causal,
                 sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
-                has_bias=has_bias, block_q=block_q, fuse_dq=True,
+                sk_pad=sk_pad, has_bias=has_bias, block_q=block_q, fuse_dq=True,
             ),
             grid=(b * h, sk_pad // block_k),
             in_specs=dkv_specs,
@@ -461,7 +468,7 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
             functools.partial(
                 _bwd_dkv_kernel, scale=scale, causal=causal,
                 sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
-                has_bias=has_bias, block_q=block_q,
+                sk_pad=sk_pad, has_bias=has_bias, block_q=block_q,
             ),
             grid=(b * h, sk_pad // block_k),
             in_specs=dkv_specs,
@@ -763,7 +770,7 @@ def flash_attention_bshd(
 
 
 def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
-                          sq_pad, sk_actual, block_q, group, d, fuse_dq):
+                          sq_pad, sk_actual, sk_pad, block_q, group, d, fuse_dq):
     """Backward dk/dv for this k block; with ``fuse_dq`` also this block's
     dq contributions accumulated into a grid-persistent f32 output.
 
@@ -809,13 +816,23 @@ def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
             s = jax.lax.dot_general(
                 qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
-            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(k_pos < sk_actual, s, NEG_INF)
-            q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            # masks only when padding exists — on block-aligned shapes the
+            # iota+where passes are pure VPU overhead in the hot loop
+            if sk_actual < sk_pad or causal:
+                k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1
+                )
+                if sk_actual < sk_pad:
+                    s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+            if causal or sq_actual < sq_pad:
+                q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0
+                )
             if causal:
                 s = jnp.where(k_pos <= q_pos, s, NEG_INF)
             p = jnp.exp(s - lse_g[:, None])
-            p = jnp.where(q_pos < sq_actual, p, 0.0)  # padded q rows
+            if sq_actual < sq_pad:
+                p = jnp.where(q_pos < sq_actual, p, 0.0)  # padded q rows
             new_dv.append(dvs[g] + jax.lax.dot_general(
                 p.astype(dog.dtype), dog,
                 (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -889,8 +906,12 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             s = jax.lax.dot_general(
                 qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale
-            k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+            if sk_actual < sk_pad or causal:
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1
+                )
+                if sk_actual < sk_pad:
+                    s = jnp.where(k_pos < sk_actual, s, NEG_INF)
             if causal:
                 q_pos = qi * block_q + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 0
@@ -973,7 +994,7 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
         functools.partial(
             _bwd_dkvq_kernel_bshd, scale=scale, causal=causal,
             sq_actual=sq_actual, sq_pad=sq_pad, sk_actual=sk_actual,
-            block_q=block_q, group=group, d=d, fuse_dq=fuse_dq,
+            sk_pad=sk_pad, block_q=block_q, group=group, d=d, fuse_dq=fuse_dq,
         ),
         grid=(b, hg, sk_pad // block_k),
         in_specs=dkv_specs,
