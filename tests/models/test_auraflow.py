@@ -188,26 +188,29 @@ def test_umt5_parity_vs_transformers():
     np.testing.assert_allclose(got[1, :8], expected[1, :8], atol=2e-4, rtol=2e-4)
 
 
-def test_generate_end_to_end(tmp_path):
+class _Tok:
+    def __call__(self, prompts, max_length=None, **kw):
+        ids, mask = [], []
+        for p in prompts:
+            t = [3 + (hash(w) % 120) for w in p.split()][:max_length]
+            pad = max_length - len(t)
+            ids.append(t + [0] * pad)
+            mask.append([1] * len(t) + [0] * pad)
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def _tiny_model(checkpoint_path: str = "unused"):
+    """Full tiny AuraFlow pipeline (denoiser + UMT5 + KL VAE); shared with
+    the continuous-batching suite."""
     from vision_ft_tpu.models.auraflow.pipeline import AuraFlowModel
     from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
     from vision_ft_tpu.models.text_encoders.umt5 import UMT5Config
 
-    class Tok:
-        def __call__(self, prompts, max_length=None, **kw):
-            ids, mask = [], []
-            for p in prompts:
-                t = [3 + (hash(w) % 120) for w in p.split()][:max_length]
-                pad = max_length - len(t)
-                ids.append(t + [0] * pad)
-                mask.append([1] * len(t) + [0] * pad)
-            return {"input_ids": ids, "attention_mask": mask}
-
-    config = AuraFlowConig(checkpoint_path="unused", dtype="float32",
+    config = AuraFlowConig(checkpoint_path=checkpoint_path, dtype="float32",
                            denoiser=DenoiserConfig(**TINY))
-    model = AuraFlowModel(
+    return AuraFlowModel(
         config,
-        tokenizer=Tok(),
+        tokenizer=_Tok(),
         vae_config=AutoencoderKLConfig(
             block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4
         ),
@@ -216,6 +219,17 @@ def test_generate_end_to_end(tmp_path):
             relative_attention_num_buckets=8, relative_attention_max_distance=16,
         ),
     )
+
+
+def test_generate_end_to_end(tmp_path):
+    from vision_ft_tpu.models.auraflow.pipeline import AuraFlowModel
+    from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
+    from vision_ft_tpu.models.text_encoders.umt5 import UMT5Config
+
+    Tok = _Tok
+    config = AuraFlowConig(checkpoint_path="unused", dtype="float32",
+                           denoiser=DenoiserConfig(**TINY))
+    model = _tiny_model()
     model.init_params(jax.random.PRNGKey(0))
     images = model.generate(
         "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=1.5,

@@ -80,7 +80,7 @@ def test_gradients_match_xla():
         )
 
 
-@pytest.mark.parametrize("act", ["silu", "gelu_tanh"])
+@pytest.mark.parametrize("act", ["silu", "gelu_tanh", "gelu"])
 def test_swiglu_split_weights(act):
     # the Lumina2/AuraFlow layout: separate act/gate projections, no bias
     c, inner = 256, 768

@@ -630,3 +630,109 @@ def test_scheduler_tick_trace():
     # admissions arrived as batched encode groups covering all prompts once
     seen = [p for group in adapter.encode_groups for p in group]
     assert sorted(seen) == sorted(r.prompt for r in reqs)
+
+
+# -- AuraFlow (flow matching, plain CFG) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def auraflow_model():
+    from tests.models.test_auraflow import _tiny_model
+
+    m = _tiny_model()
+    m.init_params(jax.random.key(0))
+    return m
+
+
+def test_auraflow_slot_step_matches_denoise_step(auraflow_model):
+    """One active slot in a 2-slot pool reproduces the batch-1 flow step
+    for both gates (CFG on, cfg_scale<=1 off). Single-step fp comparison —
+    the cross-program half of the pool parity contract."""
+    from vision_ft_tpu.serving import AuraFlowSlotAdapter
+
+    model = auraflow_model
+    adapter = AuraFlowSlotAdapter(model, height=32, width=32, max_token_length=8)
+    enc = model.text_encoder.encode_prompts(
+        model.params["text_encoder"], ["a cat"], ["blurry"],
+        use_negative_prompts=True, max_token_length=8,
+    )
+    pos = enc.positive_embeddings.astype(model.dtype)
+    neg = enc.negative_embeddings.astype(model.dtype)
+
+    rng = np.random.default_rng(0)
+    h, w, c = adapter.latent_shape
+    lat = jnp.asarray(rng.standard_normal((1, h, w, c), np.float32), model.dtype)
+    sigma, next_sigma = 0.9, 0.7
+
+    for cfg_scale, do_cfg in ((4.0, True), (1.0, False)):
+        emb = jnp.concatenate([pos, neg]) if do_cfg else pos
+        ref = model._denoise_step(
+            model.params["denoiser"], lat, jnp.float32(sigma),
+            jnp.float32(next_sigma), emb, jnp.float32(cfg_scale),
+            do_cfg=do_cfg,
+        )
+        # pool layout: slot 0 = the request, slot 1 = inactive garbage
+        pool_lat = jnp.concatenate([lat, jnp.zeros_like(lat)])
+        emb2 = jnp.stack(
+            [pos[0], jnp.zeros_like(pos[0]), neg[0], jnp.zeros_like(neg[0])]
+        )
+        out = model._slot_step(
+            model.params["denoiser"], pool_lat,
+            jnp.asarray([sigma * 1000, 0.0], jnp.float32),
+            jnp.asarray([sigma, 0.0], jnp.float32),
+            jnp.asarray([next_sigma, 0.0], jnp.float32),
+            emb2,
+            jnp.asarray([cfg_scale, 1.0], jnp.float32),
+            jnp.asarray([True, False]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0], np.float32), np.asarray(ref[0], np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"case cfg={cfg_scale}",
+        )
+        np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+
+
+def test_auraflow_pool_parity_with_generate(auraflow_model):
+    """Concurrent AuraFlow requests with different step counts, seeds and
+    guidance scales each match their own batch-1 generate()."""
+    from vision_ft_tpu.serving import AuraFlowSlotAdapter
+
+    model = auraflow_model
+    requests = [
+        SlotRequest("a cat sitting", "blurry", num_inference_steps=3,
+                    cfg_scale=4.0, seed=1),
+        SlotRequest("a dog running", "", num_inference_steps=5,
+                    cfg_scale=1.0, seed=9),
+        SlotRequest("a bird flying", "lowres", num_inference_steps=4,
+                    cfg_scale=2.5, seed=77),
+    ]
+
+    def gen(r):
+        return model.generate(
+            r.prompt, negative_prompt=r.negative_prompt or None,
+            width=32, height=32, num_inference_steps=r.num_inference_steps,
+            cfg_scale=r.cfg_scale, max_token_length=8, seed=r.seed,
+        )[0]
+
+    expected = [gen(r) for r in requests]
+
+    adapter = AuraFlowSlotAdapter(model, height=32, width=32, max_token_length=8)
+    engine = ContinuousBatcher(adapter, num_slots=2, max_steps=8)
+    try:
+        results = [None] * len(requests)
+
+        def run(i):
+            results[i] = engine.submit(requests[i])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert all(r is not None for r in results)
+    finally:
+        engine.close()
+
+    for got, want, r in zip(results, expected, requests):
+        _images_close(got, want, regen=lambda r=r: gen(r),
+                      solo=lambda r=r: _solo_engine(adapter, r, max_steps=8))

@@ -15,6 +15,10 @@ window MicroBatcher, and step-level ContinuousBatcher
 
 Usage: python tools/bench/server_throughput.py [--n 4] [--res 512] [--steps 4]
            [--family sdxl|lumina2] [--staggered] [--gap-ms 300] [--slots 4]
+
+--staggered works for sdxl and lumina2 (the families this harness can
+hold resident single-chip; the AuraFlow slot adapter exists but a 6.8B
+MMDiT at bf16 exceeds 16 GB HBM — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -120,9 +124,8 @@ def main() -> None:
     model.init_params(jax.random.PRNGKey(0), jnp.bfloat16)
 
     if staggered:
-        if family != "sdxl":
-            sys.exit("--staggered is sdxl-only (continuous batching pool)")
-        _run_staggered(model, n=n, res=res, gap_ms=gap_ms, slots=slots)
+        _run_staggered(model, family=family, n=n, res=res, gap_ms=gap_ms,
+                       slots=slots)
         return
 
     class _Server:
@@ -194,15 +197,26 @@ def main() -> None:
     )
 
 
-def _run_staggered(model, *, n: int, res: int, gap_ms: float, slots: int) -> None:
+def _run_staggered(model, *, family: str, n: int, res: int, gap_ms: float,
+                   slots: int) -> None:
     """Replay one staggered mixed-step trace through serial / window /
     continuous scheduling and report wall + mean latency for each."""
     from inference_server import GenerationParams, MicroBatcher
     from vision_ft_tpu.serving import (
+        AuraFlowSlotAdapter,
         ContinuousBatcher,
+        Lumina2SlotAdapter,
         SDXLSlotAdapter,
         SlotRequest,
     )
+
+    adapter_cls = {
+        "sdxl": SDXLSlotAdapter,
+        "lumina2": Lumina2SlotAdapter,
+        "auraflow": AuraFlowSlotAdapter,
+    }.get(family)
+    if adapter_cls is None:
+        sys.exit(f"--staggered supports sdxl|lumina2|auraflow (got {family})")
 
     # mixed step counts defeat the window collator's batch key on purpose
     step_mix = [12, 20, 16, 24]
@@ -266,7 +280,7 @@ def _run_staggered(model, *, n: int, res: int, gap_ms: float, slots: int) -> Non
     window = MicroBatcher(server, max_batch=slots, window_ms=50.0)
     results["window"] = replay(window.submit)
 
-    adapter = SDXLSlotAdapter(model, height=res, width=res)
+    adapter = adapter_cls(model, height=res, width=res)
     engine = ContinuousBatcher(adapter, num_slots=slots,
                                max_steps=max(step_mix))
     # warm the pool program + decode

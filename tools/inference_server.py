@@ -15,7 +15,7 @@ needs) arriving within a short window into one batched generate() call,
 so N concurrent users cost ~one denoise pass instead of N. This is the
 "batched inference server" of tracked config #5 (BASELINE.json).
 
-``--scheduler continuous`` (sdxl, lumina2) swaps in step-level continuous
+``--scheduler continuous`` (sdxl, lumina2, auraflow) swaps in step-level continuous
 batching (vision_ft_tpu.serving): requests join a fixed pool of latent
 slots at denoise-step boundaries, so staggered traffic with mixed step
 counts / seeds / guidance scales shares the device with no collation
@@ -363,8 +363,8 @@ class ContinuousScheduler:
     pool of latent slots at denoise-step boundaries, so staggered traffic
     with mixed step counts / seeds / guidance shares the device without
     waiting for a collation window. Families: sdxl (ancestral, per-slot
-    noise seeds, cfg_rescale) and lumina2 (flow matching, renorm CFG +
-    per-slot CFG truncation). The pool's latent shape is fixed at
+    noise seeds, cfg_rescale), lumina2 (flow matching, renorm CFG +
+    per-slot CFG truncation) and auraflow (flow matching, plain CFG). The pool's latent shape is fixed at
     construction (one compiled program); requests for another size are
     rejected upfront — run a second server (or the window scheduler) for
     multi-resolution traffic.
@@ -373,13 +373,18 @@ class ContinuousScheduler:
     def __init__(self, model: "T2IModel", height: int, width: int,
                  num_slots: int = 4, max_steps: int = 50):
         from vision_ft_tpu.serving import (
+            AuraFlowSlotAdapter,
             ContinuousBatcher,
             Lumina2SlotAdapter,
             SDXLSlotAdapter,
             SlotRequest,
         )
 
-        adapters = {"sdxl": SDXLSlotAdapter, "lumina2": Lumina2SlotAdapter}
+        adapters = {
+            "sdxl": SDXLSlotAdapter,
+            "lumina2": Lumina2SlotAdapter,
+            "auraflow": AuraFlowSlotAdapter,
+        }
         if model._family not in adapters:
             raise ValueError(
                 "--scheduler continuous currently serves "

@@ -100,6 +100,9 @@ class AuraMLP(ModuleDict):
                 w_act=params["c_fc1"]["weight"],
                 w_gate=params["c_fc2"]["weight"],
                 w_down=params["c_proj"]["weight"],
+                b_act=params["c_fc1"].get("bias"),
+                b_gate=params["c_fc2"].get("bias"),
+                b_down=params["c_proj"].get("bias"),
                 act=self.act_name,
             )
         h1 = self.act(self["c_fc1"](params["c_fc1"], x))

@@ -190,6 +190,49 @@ class AuraFlowModel:
                     refresh=refresh, cache_depth=cache_depth),
         )
 
+    # -- continuous-batching slot step ----------------------------------------------
+
+    def _slot_step(
+        self,
+        params,
+        latents,      # (S, h, w, c) — one row per serving slot
+        timestep,     # (S,) f32 — unused (flow match: the model time IS sigma)
+        sigma,        # (S,) f32
+        next_sigma,   # (S,) f32
+        embeddings,   # (2S, L, D) [positives; negatives]
+        cfg_scale,    # (S,) f32
+        active,       # (S,) bool — inactive rows keep their latents
+    ):
+        """One flow-matching Euler step over a SLOT POOL — the AuraFlow jit
+        unit of step-level continuous batching (vision_ft_tpu.serving).
+        Plain CFG (no renorm/truncation — reference auraflow pipeline has
+        neither, /root/reference/src/models/auraflow/pipeline.py:242-341);
+        per-request scalars of :meth:`_denoise_step` become per-slot
+        vectors. The negative half always computes (constant shapes);
+        cfg_scale<=1 slots simply resolve to the positive velocity."""
+        s = latents.shape[0]
+        expand = lambda v: v[:, None, None, None]
+        model_input = jnp.concatenate([latents, latents])
+        t2 = jnp.concatenate([sigma, sigma]).astype(latents.dtype)
+        velocity = self.denoiser(params, model_input, embeddings, t2)
+        positive, negative = velocity[:s], velocity[s:]
+        do_cfg = cfg_scale > 1.0
+        velocity = jnp.where(
+            expand(do_cfg),
+            negative + expand(cfg_scale) * (positive - negative),
+            positive,
+        )
+        new_latents = latents.astype(jnp.float32) + velocity.astype(
+            jnp.float32
+        ) * expand(next_sigma - sigma)
+        new_latents = new_latents.astype(latents.dtype)
+        return jnp.where(expand(active), new_latents, latents)
+
+    def _get_jit_slot_step(self):
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "slot_step", self._slot_step)
+
     # -- generate ---------------------------------------------------------------------
 
     def generate(

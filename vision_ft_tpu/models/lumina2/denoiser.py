@@ -174,6 +174,9 @@ class FeedForward(ModuleDict):
                 w_act=params["w1"]["weight"],
                 w_gate=params["w3"]["weight"],
                 w_down=params["w2"]["weight"],
+                b_act=params["w1"].get("bias"),
+                b_gate=params["w3"].get("bias"),
+                b_down=params["w2"].get("bias"),
                 act="silu",
             )
         gate = self["w3"](params["w3"], x)

@@ -20,6 +20,7 @@ Conventions (chosen for torch-checkpoint interop; cf. reference layouts in
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Iterable
 
 import jax
@@ -364,7 +365,12 @@ class Linear(Module):
                 x.dtype
             )
         else:
-            if isinstance(w, dict) and "packed" in w and jax.default_backend() == "tpu":
+            if (
+                isinstance(w, dict)
+                and "packed" in w
+                and jax.default_backend() == "tpu"
+                and os.environ.get("VFT_NF4_FUSED", "1") != "0"
+            ):
                 # bnb 4-bit: the fused Pallas matmul keeps the weight
                 # packed in HBM and dequantizes tiles in VMEM — the XLA
                 # dequant below must materialize the full weight plus an

@@ -15,6 +15,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Literal, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -133,6 +135,8 @@ def attention_heads_packed(
         and mask is None
         and sk >= 256
         and jax.default_backend() == "tpu"
+        # A/B lever: VFT_PACKED_ATTN=0 forces the classic transpose path
+        and os.environ.get("VFT_PACKED_ATTN", "1") != "0"
     ):
         from .pallas.flash_attention import bshd_group, flash_attention_bshd
 

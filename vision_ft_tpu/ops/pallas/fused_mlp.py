@@ -199,7 +199,13 @@ def fused_ff_enabled(x, *param_dicts) -> bool:
     if x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
         return False
     for p in param_dicts:
-        if isinstance(p.get("weight"), dict):
+        w = p.get("weight")
+        if isinstance(w, dict):
+            return False
+        # Raw fp8 weights are plain arrays (not quant dicts); the XLA path
+        # dequantizes them with Precision.HIGHEST — keep them there so the
+        # stated "no fp8 on the fused path" gating holds.
+        if w is not None and w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
             return False
         if "lora_down" in p or "hada_w1_a" in p:
             return False

@@ -6,6 +6,7 @@ time HTTP server (/root/reference/tools/inference_server.py:19-136).
 """
 
 from .continuous import (
+    AuraFlowSlotAdapter,
     ContinuousBatcher,
     Lumina2SlotAdapter,
     SDXLSlotAdapter,
@@ -13,6 +14,7 @@ from .continuous import (
 )
 
 __all__ = [
+    "AuraFlowSlotAdapter",
     "ContinuousBatcher",
     "Lumina2SlotAdapter",
     "SDXLSlotAdapter",

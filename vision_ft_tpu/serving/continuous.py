@@ -320,6 +320,95 @@ class Lumina2SlotAdapter:
         return self.model.decode_image(latent_row[None])[0]
 
 
+class AuraFlowSlotAdapter:
+    """Family adapter binding the engine to an AuraFlow (MMDiT) pipeline.
+
+    Flow matching with plain CFG — no renorm, no truncation (the
+    reference's AuraFlow pipeline has neither). The denoiser's time input
+    IS the per-slot sigma, so the engine's ``t`` vector is ignored by the
+    jitted step. Same shape as Lumina2SlotAdapter minus the attention
+    mask (UMT5 features arrive already padded to max_token_length)."""
+
+    def __init__(self, model, height: int, width: int,
+                 max_token_length: Optional[int] = None):
+        from ..models.auraflow.text_encoder import DEFAULT_MAX_TOKEN_LENGTH
+
+        self.model = model
+        self.height = height
+        self.width = width
+        self.max_token_length = max_token_length or DEFAULT_MAX_TOKEN_LENGTH
+        ratio = int(model.vae.compression_ratio)
+        self.latent_shape = (
+            height // ratio, width // ratio, model.denoiser.config.in_channels,
+        )
+        enc = jax.eval_shape(
+            lambda: model.text_encoder.encode_prompts(
+                model.params["text_encoder"], ["x"], ["y"],
+                use_negative_prompts=True,
+                max_token_length=self.max_token_length,
+            )
+        )
+        self.emb_shape = enc.positive_embeddings.shape[1:]
+        self.dtype = model.dtype
+
+    def schedule(self, request: SlotRequest):
+        timesteps, _ = self.model.scheduler.retrieve_timesteps(
+            request.num_inference_steps
+        )
+        sigmas = self.model.scheduler.sigmas
+        return np.asarray(timesteps, np.float32), np.asarray(sigmas, np.float32)
+
+    def scalar_fields(self):
+        return {"cfg_scale": (1.0, np.float32)}
+
+    def request_scalars(self, request: SlotRequest):
+        return {"cfg_scale": request.cfg_scale}
+
+    def encode(self, requests: list[SlotRequest]):
+        out = self.model.text_encoder.encode_prompts(
+            self.model.params["text_encoder"],
+            [r.prompt for r in requests],
+            [r.negative_prompt or "" for r in requests],
+            use_negative_prompts=True,
+            max_token_length=self.max_token_length,
+        )
+        pos = out.positive_embeddings.astype(self.dtype)
+        neg = out.negative_embeddings.astype(self.dtype)
+        return [(pos[i], neg[i]) for i in range(len(requests))]
+
+    def blank_context(self, num_slots: int):
+        s = num_slots
+        return {
+            "emb": jnp.zeros((2 * s,) + tuple(self.emb_shape), self.dtype),
+        }
+
+    def write_slot(self, ctx, j: int, row):
+        e_pos, e_neg = row
+        s = ctx["emb"].shape[0] // 2
+        return {"emb": ctx["emb"].at[j].set(e_pos).at[s + j].set(e_neg)}
+
+    def init_latents(self, request: SlotRequest, seed: int,
+                     sigmas: np.ndarray) -> jax.Array:
+        """Same stream as batch-1 prepare_latents row 0 (pure noise —
+        AuraFlow's shifted schedule starts at sigma_max=1)."""
+        from ..utils import tensor as tensor_utils
+
+        return tensor_utils.incremental_seed_randn(
+            (1,) + self.latent_shape, seed, dtype=self.dtype
+        )[0]
+
+    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
+                  scalars, active):
+        step = self.model._get_jit_slot_step()
+        return step(
+            self.model.params["denoiser"], latents, t, sigma, next_sigma,
+            ctx["emb"], scalars["cfg_scale"], active,
+        )
+
+    def decode(self, latent_row: jax.Array):
+        return self.model.decode_image(latent_row[None])[0]
+
+
 class ContinuousBatcher:
     """Fixed-slot step-level scheduler.
 
