@@ -21,11 +21,20 @@ run $PY tools/bench/family_generate.py lumina2 --deep-cache 2
 run $PY tools/bench/family_generate.py lumina2 --deep-cache 3
 run $PY tools/bench/family_generate.py lumina2_w8a8
 run $PY tools/bench/server_throughput.py --family lumina2
+run $PY tools/bench/server_throughput.py --family lumina2 --staggered
+# batch-scaling isolation for the 0.79x window-batching regression
+run $PY tools/bench/lumina2_batch_ab.py
+run $PY tools/bench/lumina2_batch_ab.py --no-mask
+run env VFT_PACKED_ATTN=0 $PY tools/bench/lumina2_batch_ab.py
 # -- verdict #4: NF4 fused matmul A/B (train + generate)
 run $PY tools/bench/sdxl_train_step.py --nf4
 run env VFT_NF4_FUSED=0 $PY tools/bench/sdxl_train_step.py --nf4
 # -- verdict #3 lever: fused-FF effect on the SDXL train step
 run env VFT_FUSED_FF=1 $PY tools/bench/sdxl_train_step.py
+# -- verdict #3: where do the 765 ms go? (train-step per-op profile)
+run $PY tools/bench/sdxl_train_step.py --profile /tmp/prof_sdxl_train
+run $PY tools/bench/xplane_stats.py /tmp/prof_sdxl_train --top 30
+run $PY tools/bench/xplane_stats.py /tmp/prof_sdxl_train --by-source --top 20
 # -- verdict #7: packed-attention A/B rows per family
 run $PY tools/bench/family_generate.py auraflow_nf4
 run env VFT_PACKED_ATTN=0 $PY tools/bench/family_generate.py auraflow_nf4
