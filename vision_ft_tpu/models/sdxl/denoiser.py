@@ -123,7 +123,8 @@ def _fused_ff_applies(p1, p2, x) -> bool:
     shapes. Anything else — LoRA/LoHa deltas, NF4/fp8/W8A8 subtrees,
     fp32 golden-parity runs — keeps the XLA path, whose split/gelu
     numerics the parity suite pins. VFT_FUSED_FF=1 enables (A/B lever;
-    default flips on once the on-chip A/B confirms the win)."""
+    the r4 on-chip A/B measured a wash at SDXL widths, so the default
+    stays 0 — docs/PERFORMANCE.md "Round-4 measurements")."""
     from ...ops.pallas.fused_mlp import fused_ff_enabled, supported
 
     if not fused_ff_enabled(x, p1, p2):

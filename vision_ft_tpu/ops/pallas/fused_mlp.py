@@ -191,7 +191,13 @@ def fused_ff_enabled(x, *param_dicts) -> bool:
     opted in, bf16 activations on a real TPU, and every Linear subtree a
     plain dense weight (no NF4/fp8/W8A8 dicts, no LoRA/LoHa adapter
     keys — those keep the XLA formulation whose numerics and adapter
-    deltas the parity suite pins)."""
+    deltas the parity suite pins).
+
+    Default is 0: the r4 on-chip A/B measured the kernel a wash on the
+    SDXL headline bench (10.466 vs 10.482 steps/s) — XLA's ff fusion is
+    already at the same operating point at 640/1280-ch widths. The
+    kernel stays as an opt-in for the wider DiT ffs (docs/PERFORMANCE.md
+    "Round-4 measurements")."""
     import os
 
     if os.environ.get("VFT_FUSED_FF", "0") == "0":
