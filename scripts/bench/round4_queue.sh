@@ -43,4 +43,13 @@ run env VFT_PACKED_ATTN=0 $PY tools/bench/family_generate.py cogview4
 # -- verdict #8: DeepCache + W8A8 for the remaining served families
 run $PY tools/bench/family_generate.py cogview4 --deep-cache 2
 run $PY tools/bench/family_generate.py cogview4_w8a8
+# re-run after the collect() signature fix
+run $PY tools/bench/attn_kernel_bench.py --train
+# -- r4 levers landed mid-round: LoRA concat dot + flash pad elimination
+run $PY tools/bench/partial_block_probe.py
+run $PY tools/bench/sdxl_train_step.py
+run env VFT_LORA_CONCAT=0 $PY tools/bench/sdxl_train_step.py
+run $PY tools/bench/family_train_step.py lumina2
+run env VFT_LORA_CONCAT=0 $PY tools/bench/family_train_step.py lumina2
+run $PY bench.py
 echo "round4 queue done $(date -u)" | tee -a "$LOG"

@@ -200,3 +200,51 @@ def test_gradients_flow_only_through_adapters():
     g = flatten_params(grads)
     # down grad is nonzero only after up becomes nonzero; up grad nonzero
     assert float(jnp.abs(g["attn1.to_q.lora_up.weight"]).max()) > 0
+
+
+def test_lora_concat_dot_matches_delta_formulation():
+    """The fused concat dot (nn.core._lora_concat_dot, default path) must
+    match the separate-delta formulation (VFT_LORA_CONCAT=0) in both the
+    forward and the adapter gradients — the custom VJP hand-writes the
+    backward so plain-AD parity is the correctness oracle."""
+    import os
+
+    model, params = _toy_model()
+    peft_params = replace_to_peft_layer(
+        params, ["to_q"], [], LoRAConfig(rank=4, alpha=2.0, dtype="float32"),
+        jax.random.PRNGKey(0),
+    )
+    # non-zero up so the delta actually contributes
+    peft_params["attn1"]["to_q"]["lora_up"]["weight"] = jax.random.normal(
+        jax.random.PRNGKey(5), peft_params["attn1"]["to_q"]["lora_up"]["weight"].shape
+    ) * 0.3
+    trainable, frozen = split_peft_params(peft_params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 16))  # >2D leading dims
+
+    def loss(tr, xin):
+        merged = merge_params(frozen, tr)
+        return jnp.sum(model["attn1"]["to_q"](merged["attn1"]["to_q"], xin) ** 2)
+
+    def run():
+        out = model["attn1"]["to_q"](
+            merge_params(frozen, trainable)["attn1"]["to_q"], x
+        )
+        g_tr = jax.grad(loss, 0)(trainable, x)
+        g_x = jax.grad(loss, 1)(trainable, x)
+        return out, flatten_params(g_tr), g_x
+
+    assert os.environ.get("VFT_LORA_CONCAT", "1") != "0"
+    out_c, g_c, gx_c = run()
+    os.environ["VFT_LORA_CONCAT"] = "0"
+    try:
+        out_d, g_d, gx_d = run()
+    finally:
+        del os.environ["VFT_LORA_CONCAT"]
+
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_d), rtol=1e-4, atol=1e-4)
+    for key in g_d:
+        np.testing.assert_allclose(
+            np.asarray(g_c[key]), np.asarray(g_d[key]), rtol=1e-4, atol=1e-4,
+            err_msg=key,
+        )

@@ -36,8 +36,8 @@ def device_time_ms(run_once, iters: int = 10) -> float:
             for _ in range(iters):
                 out = run_once()
             jax.block_until_ready(out)
-        per_op, _ = collect(find_xplane(tmp))
-        return sum(per_op.values()) / iters
+        per_op = collect(find_xplane(tmp))
+        return sum(row[0] for row in per_op.values()) / iters
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -62,7 +62,9 @@ def main() -> None:
     from tools.bench.xplane_stats import collect, find_xplane
 
     path = find_xplane(out)
-    per_op, per_op_count = collect(path)
+    rows = collect(path)
+    per_op = {op: row[0] for op, row in rows.items()}
+    per_op_count = {op: row[1] for op, row in rows.items()}
     total = sum(per_op.values())
     print(f"\ntotal device op time over {iters} iters: {total:.2f} ms "
           f"({total / iters:.2f} ms/step)")

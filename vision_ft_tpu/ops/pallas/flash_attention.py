@@ -41,6 +41,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _divisor_block_k(sk: int) -> int:
+    """K block size, preferring one that DIVIDES sk so k/v enter the
+    kernel unpadded (the r4 Lumina2 train profile put ~52 ms/step of
+    jnp.pad HBM copies on the classic-path wrapper at S=4352, which no
+    power-of-two block in [128, 1024] divides evenly... 256 does; 512
+    does not). Preference order: largest divisor whose block count is
+    even (keeps the 2x MXU/VPU unroll), then largest divisor, then the
+    old round-up behavior for non-128-aligned sequences."""
+    legacy = min(BLOCK_K, _round_up(sk, 128))
+    if sk % legacy == 0:  # measured-good configs (SDXL 4096/1024) unchanged
+        return legacy
+    candidates = [c for c in (BLOCK_K, 512, 256, 128) if sk % c == 0]
+    for c in candidates:
+        if (sk // c) % 2 == 0:
+            return c
+    if candidates:
+        return candidates[0]
+    return legacy
+
+
 def _masked_scores(s, kb, qi, block_q, kmask_row, *, causal, sk_actual, sk_pad):
     """Apply static padding mask, optional bias row, optional causal."""
     block_k = s.shape[1]
@@ -59,11 +79,13 @@ def _masked_scores(s, kb, qi, block_q, kmask_row, *, causal, sk_actual, sk_pad):
 # forward
 
 
-def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k, d_ones):
-    """d_ones >= 0: V carries a ones column at lane index d_ones, so the PV
+def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k, vones, d):
+    """vones: V gets a ones column appended IN-KERNEL (lane d), so the PV
     matmul accumulates the softmax row-sum l on the MXU for free (the lanes
     past head_dim were idle anyway for d<128 heads); the separate VPU
-    jnp.sum pass disappears. d_ones < 0: classic l carry."""
+    jnp.sum pass disappears. Building the column per block instead of in
+    HBM (the old v_aug pad+add) deletes a full V-sized HBM copy per call
+    plus the 128->d lane slice of the output. vones False: classic l carry."""
     if has_bias:
         q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref = refs
     else:
@@ -72,11 +94,15 @@ def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k, d_on
     block_q = q.shape[0]
     qi = pl.program_id(1)
     num_kb = sk_pad // block_k
-    vones = d_ones >= 0
+    dv = d + 1 if vones else d
 
     def step(kb, acc, m_i, l_i):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        if vones:
+            v_blk = jnp.concatenate(
+                [v_blk, jnp.ones((v_blk.shape[0], 1), v_blk.dtype)], axis=1
+            )
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK) fp32
@@ -112,13 +138,14 @@ def _fwd_kernel(*refs, scale, causal, sk_actual, sk_pad, has_bias, block_k, d_on
             acc, m_i, l_i = step(i, acc, m_i, l_i)
         return acc, m_i, l_i
 
-    acc = jnp.zeros((block_q, v_ref.shape[-1]), jnp.float32)
+    acc = jnp.zeros((block_q, dv), jnp.float32)
     m_i = jnp.full((block_q,), NEG_INF, jnp.float32)
     l_i = jnp.zeros((block_q,), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, num_kb // unroll, body, (acc, m_i, l_i))
 
     if vones:
-        l_i = acc[:, d_ones]
+        l_i = acc[:, d]
+        acc = acc[:, :d]
     l_safe = jnp.maximum(l_i, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
     lse = m_i + jnp.log(l_safe)
@@ -135,36 +162,26 @@ def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interp
     grid = (b * h, sq // block_q)
     has_bias = bias is not None
 
-    # V-ones augmentation: when head_dim leaves idle lanes below the next
-    # 128 boundary (d % 128 != 0), store a ones column at lane d so the PV
-    # matmul accumulates the softmax row-sum for free. For d % 128 == 0 the
-    # extra lane pass would double PV time — keep the classic l carry.
-    d_ones = d if d % 128 != 0 else -1
-    if d_ones >= 0:
-        dv = _round_up(d + 1, 128)
-        v_aug = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dv - d)))
-        ones_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dv), 3) == d_ones
-        ).astype(v.dtype)
-        v_aug = v_aug + ones_col
-    else:
-        dv = d
-        v_aug = v
+    # V-ones: when head_dim leaves idle lanes below the next 128 boundary
+    # (d % 128 != 0), the kernel appends a ones column to each V block so
+    # the PV matmul accumulates the softmax row-sum for free. For
+    # d % 128 == 0 the extra lane pass would double PV time — classic l.
+    vones = d % 128 != 0
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         sk_actual=sk_actual, sk_pad=sk_pad, has_bias=has_bias, block_k=block_k,
-        d_ones=d_ones,
+        vones=vones, d=d,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
         pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
-        pl.BlockSpec((1, sk_pad, dv), lambda bh, qi: (bh, 0, 0)),
+        pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
     ]
     args = [
         q.reshape(b * h, sq, d),
         k.reshape(b * h, sk_pad, d),
-        v_aug.reshape(b * h, sk_pad, dv),
+        v.reshape(b * h, sk_pad, d),
     ]
     if has_bias:
         in_specs.append(_bias_spec(sk_pad))
@@ -175,16 +192,16 @@ def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interp
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, dv), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, 8, sq), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
-    return o.reshape(b, h, sq, dv)[:, :, :, :d], lse  # lse (b*h, 8, sq) replicated
+    return o.reshape(b, h, sq, d), lse  # lse (b*h, 8, sq) replicated
 
 
 # ---------------------------------------------------------------------------
@@ -572,7 +589,7 @@ def flash_attention_tpu(
     # overhead (s=1024: 0.174 -> 0.165 ms measured on v5e); the score
     # block tops out at 1024x1024 fp32 = 4 MB VMEM
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    block_k = min(BLOCK_K, _round_up(sk, 128))
+    block_k = _divisor_block_k(sk)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
