@@ -32,12 +32,18 @@ def quantize_params_zeros(abstract_tree, include_keys, blocksize: int = 64):
         )
         if targeted:
             numel = int(np.prod(leaf.shape))
-            out[f"{key}.packed"] = np.zeros(((numel + 1) // 2, 1), np.uint8)
             if leaf.shape[1] % 2 == 0:
-                # mirror quantize_weight's split device layout (zeros are
-                # layout-invariant; the MARKER routes the kernel onto the
-                # contiguous-slice path, which is what ships)
+                # mirror quantize_weight's split device layout exactly,
+                # INCLUDING its 2-D (n, k//2) shape: a 1-column packed
+                # array forces an in-graph reshape/retile copy of every
+                # weight per step (seen as u8[n, k/2] HLO temps in the
+                # AuraFlow b1 OOM dump). Zeros are layout-invariant; the
+                # MARKER routes the kernel onto the contiguous-slice path.
+                n, k = leaf.shape
+                out[f"{key}.packed"] = np.zeros((n, k // 2), np.uint8)
                 out[f"{key}.split"] = np.ones((), np.uint8)
+            else:
+                out[f"{key}.packed"] = np.zeros(((numel + 1) // 2, 1), np.uint8)
             out[f"{key}.code"] = np.asarray(NF4_CODE, np.float32)
             out[f"{key}.absmax"] = np.ones(
                 (numel + blocksize - 1) // blocksize, np.float32

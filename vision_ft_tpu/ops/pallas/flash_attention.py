@@ -772,7 +772,7 @@ def flash_attention_bshd(
         scale = d**-0.5
 
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    block_k = min(BLOCK_K, _round_up(sk, 128))
+    block_k = _divisor_block_k(sk)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(sk, block_k)
 
