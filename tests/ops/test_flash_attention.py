@@ -234,3 +234,35 @@ def test_bwd_two_pass_branch_matches_fused(monkeypatch, causal, masked):
             np.asarray(gf), np.asarray(gt), atol=2e-5, rtol=1e-5,
             err_msg=f"d{name} branch mismatch",
         )
+
+
+def test_lumina2_shape_divisor_path_fwd_and_grad():
+    """S=1280 (128-aligned, NOT 512-divisible) with d=96 GQA-repeat heads
+    and a right-padded key mask — the Lumina2 joint-sequence shape class.
+    Phase-B pad elimination routes this through the partial final q block
+    (fwd) and the dividing bwd block (256); numerics must match XLA."""
+    b, h, s, d = 1, 2, 1280, 96
+    q, k, v = _rand(0, (b, h, s, d)), _rand(1, (b, h, s, d)), _rand(2, (b, h, s, d))
+    key_mask = jnp.asarray(np.arange(s) < 1219)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_tpu(q, k, v, mask=key_mask, interpret=True)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, key_mask[None, None, None, :], d**-0.5, False)
+        return jnp.sum(o * jnp.sin(o))
+
+    np.testing.assert_allclose(
+        np.asarray(flash_attention_tpu(q, k, v, mask=key_mask, interpret=True)),
+        np.asarray(_xla_attention(q, k, v, key_mask[None, None, None, :],
+                                  d**-0.5, False)),
+        atol=2e-5, rtol=2e-5,
+    )
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )

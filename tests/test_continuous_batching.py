@@ -736,3 +736,47 @@ def test_auraflow_pool_parity_with_generate(auraflow_model):
     for got, want, r in zip(results, expected, requests):
         _images_close(got, want, regen=lambda r=r: gen(r),
                       solo=lambda r=r: _solo_engine(adapter, r, max_steps=8))
+
+
+def test_schedule_longer_than_num_steps_is_validated(model):
+    """SDXL's integer step_ratio walk yields n+1 timesteps for counts that
+    don't divide 1000 (e.g. 24 -> 25 rows). The engine must size against
+    the SCHEDULE length: an oversized request gets ITS OWN error at admit
+    (not a pool-wide poison), and a pool with +1 headroom serves it."""
+    adapter = SDXLSlotAdapter(model, height=32, width=32)
+    t_row, _ = adapter.schedule(SlotRequest("x", num_inference_steps=24))
+    assert len(t_row) == 25  # the trap this test pins
+
+    # headroom pool: same request completes
+    engine = ContinuousBatcher(adapter, num_slots=1, max_steps=25)
+    try:
+        img = engine.submit(SlotRequest("a cat", num_inference_steps=24,
+                                        cfg_scale=1.0, seed=3))
+        assert img is not None
+    finally:
+        engine.close()
+
+    # tight pool: the oversized request errors, a sibling still completes
+    engine = ContinuousBatcher(adapter, num_slots=2, max_steps=24)
+    try:
+        results = {}
+
+        def run(name, steps):
+            try:
+                results[name] = engine.submit(
+                    SlotRequest(name, num_inference_steps=steps,
+                                cfg_scale=1.0, seed=1))
+            except ValueError as exc:
+                results[name] = exc
+
+        threads = [threading.Thread(target=run, args=("big", 24)),
+                   threading.Thread(target=run, args=("ok", 20))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert isinstance(results["big"], ValueError)
+        assert "exceeds engine max_steps" in str(results["big"])
+        assert not isinstance(results["ok"], Exception)
+    finally:
+        engine.close()

@@ -281,8 +281,10 @@ def _run_staggered(model, *, family: str, n: int, res: int, gap_ms: float,
     results["window"] = replay(window.submit)
 
     adapter = adapter_cls(model, height=res, width=res)
+    # +1: SDXL's integer step_ratio walk yields n+1 timesteps for counts
+    # that don't divide 1000
     engine = ContinuousBatcher(adapter, num_slots=slots,
-                               max_steps=max(step_mix))
+                               max_steps=max(step_mix) + 1)
     # warm the pool program + decode
     engine.submit(SlotRequest("warm", num_inference_steps=2))
     try:

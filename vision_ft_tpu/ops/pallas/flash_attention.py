@@ -159,7 +159,10 @@ def _bias_spec(sk_pad):
 def _flash_fwd(q, k, v, bias, scale, causal, sk_actual, block_q, block_k, interpret):
     b, h, sq, d = q.shape
     sk_pad = k.shape[2]
-    grid = (b * h, sq // block_q)
+    # ceil: the final q block may be partial (Mosaic masks the boundary;
+    # garbage rows are row-isolated through the softmax and dropped on
+    # the masked store)
+    grid = (b * h, -(-sq // block_q))
     has_bias = bias is not None
 
     # V-ones: when head_dim leaves idle lanes below the next 128 boundary
@@ -389,9 +392,19 @@ def _bwd_unroll(num_blocks: int, block_q: int, block_k: int, d: int) -> int:
 
 def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
                block_q, block_k, interpret, g_lse=None):
-    b, h, sq_pad, d = q.shape
+    b, h, sq, d = q.shape  # q arrives UNPADDED on the seq axis (phase B)
     sk_pad = k.shape[2]
-    block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
+    block_q, block_k = _bwd_blocks(block_q, block_k, sq, sk_pad)
+    # the dkv kernel slices the whole-sequence q/dO window in-kernel, so
+    # block_q must divide the window: prefer a dividing block (no copies
+    # — Lumina2's 4352 takes 256); only pad rows when none exists
+    if sq % block_q != 0:
+        bq_div = next(
+            (c for c in (512, 256, 128) if c <= block_q and sq % c == 0), None
+        )
+        if bq_div is not None:
+            block_q = bq_div
+    sq_pad = _round_up(sq, block_q)
     has_bias = bias is not None
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if g_lse is not None:
@@ -401,14 +414,20 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
         # delta: ds = p * (dp - (delta - g_lse)) * scale. No kernel change.
         delta = delta - g_lse.astype(jnp.float32)
 
-    q_ = q.reshape(b * h, sq_pad, d)
+    q_ = q.reshape(b * h, sq, d)
     k_ = k.reshape(b * h, sk_pad, d)
     v_ = v.reshape(b * h, sk_pad, d)
-    do_ = do.reshape(b * h, sq_pad, d)
-    lse_ = lse  # (b*h, 8, sq_pad) sublane-replicated
+    do_ = do.reshape(b * h, sq, d)
+    lse_ = lse  # (b*h, 8, sq) sublane-replicated
     delta_ = jnp.broadcast_to(
-        delta.reshape(b * h, 1, sq_pad), (b * h, 8, sq_pad)
+        delta.reshape(b * h, 1, sq), (b * h, 8, sq)
     )
+    if sq_pad != sq:
+        rows = sq_pad - sq
+        q_ = jnp.pad(q_, ((0, 0), (0, rows), (0, 0)))
+        do_ = jnp.pad(do_, ((0, 0), (0, rows), (0, 0)))
+        lse_ = jnp.pad(lse_, ((0, 0), (0, 0), (0, rows)))
+        delta_ = jnp.pad(delta_, ((0, 0), (0, 0), (0, rows)))
 
     fuse_dq = sq_pad * d * 4 <= _FUSE_DQ_MAX
     if not fuse_dq:
@@ -500,8 +519,10 @@ def _flash_bwd(q, k, v, bias, o, lse, do, scale, causal, sq_actual, sk_actual,
             interpret=interpret,
         )(*dkv_args)
 
+    if sq_pad != sq:
+        dq = dq[:, :sq]
     return (
-        dq.reshape(b, h, sq_pad, d),
+        dq.reshape(b, h, sq, d),
         dk.reshape(b, h, sk_pad, d),
         dv.reshape(b, h, sk_pad, d),
     )
@@ -589,14 +610,19 @@ def flash_attention_tpu(
     # overhead (s=1024: 0.174 -> 0.165 ms measured on v5e); the score
     # block tops out at 1024x1024 fp32 = 4 MB VMEM
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    block_k = _divisor_block_k(sk)
-    sq_pad = _round_up(sq, block_q)
-    sk_pad = _round_up(sk, block_k)
+    # q is NEVER padded: the fwd grid takes a partial final block (Mosaic
+    # masks the boundary loads/stores — probe-verified exact on this
+    # build, tools/bench/partial_block_probe.py). k/v pad only to the
+    # next 128 when the key length is not 128-aligned (v pad rows must
+    # be zero: p=0 does not protect the PV dot from garbage v).
+    sq_pad = sq
+    sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
+    block_k = _divisor_block_k(sk_pad)
 
     def pad(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d)))
 
-    qp, kp, vp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
+    qp, kp, vp = pad(q, sq), pad(k, sk_pad), pad(v, sk_pad)
 
     bias = None
     if mask is not None:
@@ -712,7 +738,8 @@ def _flash_fwd_bshd(q, k, v, scale, causal, sk_actual, block_q, block_k,
     b, sq_pad, inner = q.shape
     sk_pad = k.shape[1]
     hg = inner // (group * d)
-    grid = (b, hg, sq_pad // block_q)
+    # ceil: partial final q block (Mosaic-masked, probe-verified)
+    grid = (b, hg, -(-sq_pad // block_q))
     gd = group * d
 
     kernel = functools.partial(
@@ -772,18 +799,19 @@ def flash_attention_bshd(
         scale = d**-0.5
 
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    block_k = _divisor_block_k(sk)
-    sq_pad = _round_up(sq, block_q)
-    sk_pad = _round_up(sk, block_k)
+    # q unpadded (partial final grid block — see flash_attention_tpu);
+    # k/v pad only to the next 128 for non-aligned key lengths
+    sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
+    block_k = _divisor_block_k(sk_pad)
 
     def pad_s(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
 
     o = _flash_bshd_core(
-        pad_s(q, sq_pad), pad_s(k, sk_pad), pad_s(v, sk_pad),
+        q, pad_s(k, sk_pad), pad_s(v, sk_pad),
         scale, is_causal, sq, sk, block_q, block_k, group, d, interpret,
     )
-    return o[:, :sq, :]
+    return o
 
 
 def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
@@ -960,9 +988,19 @@ def _bwd_dq_kernel_bshd(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
                     block_q, block_k, group, d, interpret):
-    b, sq_pad, inner = q.shape
+    b, sq, inner = q.shape  # unpadded seq (phase B)
     sk_pad = k.shape[1]
-    block_q, block_k = _bwd_blocks(block_q, block_k, sq_pad, sk_pad)
+    block_q, block_k = _bwd_blocks(block_q, block_k, sq, sk_pad)
+    # the dkvq kernel slices whole-sequence q/dO windows in-kernel:
+    # block_q must divide the window — prefer a dividing block, pad rows
+    # internally only when none exists (e.g. AuraFlow's 4360)
+    if sq % block_q != 0:
+        bq_div = next(
+            (c for c in (512, 256, 128) if c <= block_q and sq % c == 0), None
+        )
+        if bq_div is not None:
+            block_q = bq_div
+    sq_pad = _round_up(sq, block_q)
     gd = group * d
     # Wide head groups (d=256, AuraFlow) double every (BQ, BK)-shaped loop
     # temporary's lane footprint; the dkv kernel's stack measured 16.34 MB
@@ -976,11 +1014,17 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     # per-head delta rows in the lse layout: (B, HG, G*8, SQ)
     delta = jnp.sum(
         (do.astype(jnp.float32) * o.astype(jnp.float32)).reshape(
-            b, sq_pad, hg, group, d
+            b, sq, hg, group, d
         ),
         axis=-1,
     ).transpose(0, 2, 3, 1)  # (B, HG, G, SQ)
     delta = jnp.repeat(delta, 8, axis=2)  # (B, HG, G*8, SQ)
+    if sq_pad != sq:
+        rows = sq_pad - sq
+        q = jnp.pad(q, ((0, 0), (0, rows), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, rows), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, 0), (0, rows)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, 0), (0, rows)))
 
     dkv_specs = [
         pl.BlockSpec((1, sq_pad, gd), lambda b, g, ki: (b, 0, g)),
@@ -1021,6 +1065,8 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
     )(q, k, v, do, lse, delta)
     if fuse_dq:
         dk, dv, dq = out
+        if sq_pad != sq:
+            dq = dq[:, :sq]
         return dq.astype(q.dtype), dk, dv
 
     dk, dv = out
@@ -1043,6 +1089,8 @@ def _flash_bwd_bshd(q, k, v, o, lse, do, scale, causal, sq_actual, sk_actual,
         out_shape=jax.ShapeDtypeStruct((b, sq_pad, inner), q.dtype),
         interpret=interpret,
     )(q, k, v, do, lse, delta)
+    if sq_pad != sq:
+        dq = dq[:, :sq]
     return dq, dk, dv
 
 

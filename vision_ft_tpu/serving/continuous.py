@@ -487,10 +487,22 @@ class ContinuousBatcher:
             return
         rows = self.adapter.encode([p.request for p in group])
         for pending, row in zip(group, rows):
-            j = free.pop(0)
             r = pending.request
             t_row, sig_row = self.adapter.schedule(r)
             n = len(t_row)
+            if n > self.max_steps:
+                # schedulers may emit MORE rows than num_inference_steps
+                # (SDXL's integer step_ratio walk yields n+1 timesteps for
+                # counts that don't divide 1000) — reject just this
+                # request instead of overflowing the per-slot tables
+                pending.error = ValueError(
+                    f"schedule length {n} exceeds engine max_steps "
+                    f"{self.max_steps} (num_inference_steps="
+                    f"{r.num_inference_steps})"
+                )
+                pending.event.set()
+                continue
+            j = free.pop(0)
             self._t_table[j, :n] = t_row
             self._sig_table[j, : n + 1] = sig_row
             self._step_idx[j] = 0
