@@ -46,18 +46,20 @@ def _divisor_block_k(sk: int) -> int:
     kernel unpadded (the r4 Lumina2 train profile put ~52 ms/step of
     jnp.pad HBM copies on the classic-path wrapper at S=4352, which no
     power-of-two block in [128, 1024] divides evenly... 256 does; 512
-    does not). Preference order: largest divisor whose block count is
-    even (keeps the 2x MXU/VPU unroll), then largest divisor, then the
-    old round-up behavior for non-128-aligned sequences."""
+    does not). Preference: LARGEST divisor — an on-chip A/B showed the
+    even-block-count/2x-unroll preference picking 128 cost ~5% on the
+    Lumina2 generate step vs bigger blocks; block size beats unroll.
+    VFT_FLASH_BLOCK_K forces a value (A/B lever). Falls back to the old
+    round-up behavior for non-128-aligned sequences."""
+    forced = os.environ.get("VFT_FLASH_BLOCK_K")
+    if forced:
+        return int(forced)
     legacy = min(BLOCK_K, _round_up(sk, 128))
     if sk % legacy == 0:  # measured-good configs (SDXL 4096/1024) unchanged
         return legacy
-    candidates = [c for c in (BLOCK_K, 512, 256, 128) if sk % c == 0]
-    for c in candidates:
-        if (sk // c) % 2 == 0:
+    for c in (BLOCK_K, 512, 256, 128):
+        if sk % c == 0:
             return c
-    if candidates:
-        return candidates[0]
     return legacy
 
 
@@ -618,6 +620,7 @@ def flash_attention_tpu(
     sq_pad = sq
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
+    sk_pad = _round_up(sk_pad, block_k)  # no-op unless block_k was forced
 
     def pad(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d)))
@@ -803,6 +806,7 @@ def flash_attention_bshd(
     # k/v pad only to the next 128 for non-aligned key lengths
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
+    sk_pad = _round_up(sk_pad, block_k)  # no-op unless block_k was forced
 
     def pad_s(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
