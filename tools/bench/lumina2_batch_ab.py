@@ -85,17 +85,25 @@ def main() -> None:
                  jnp.zeros((2 * batch, cap_len - valid), bool)], axis=1
             )
         step = model._get_jit_step(do_cfg=True, use_cache=False)
-        args = (
-            model.params["denoiser"], latents, jnp.float32(800.0),
-            jnp.float32(0.9), jnp.float32(0.7), feats, mask, feats,
-            jnp.float32(4.0), jnp.float32(1.0),
-        )
-        out = step(*args)
+
+        def run(lat):
+            return step(
+                model.params["denoiser"], lat, jnp.float32(800.0),
+                jnp.float32(0.9), jnp.float32(0.7), feats, mask, feats,
+                jnp.float32(4.0), jnp.float32(1.0),
+            )
+
+        out = run(latents)
         jax.block_until_ready(out)
+        # chain latents between iterations (real dependency) and block
+        # every call: independent in-flight executions on the axon
+        # backend reported ~0 ms when only the last was blocked (r4)
+        lat = out[0]
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = step(*args)
-        jax.block_until_ready(out)
+            out = run(lat)
+            lat = out[0]
+            jax.block_until_ready(lat)
         dt = (time.perf_counter() - t0) / steps
         per_img = dt / batch * 1000
         rows.append({"batch": batch, "ms_per_step": round(dt * 1000, 1),
