@@ -20,6 +20,14 @@ request leaves the same way. Requests with different step counts, seeds
 and guidance scales coexist in one batch; the device sees a constant
 shape and never recompiles.
 
+When to use it (r4 on-chip result, docs/PERFORMANCE.md): continuous
+batching wins when per-request compute UNDER-uses the chip or when
+requests must not wait for lockstep batch mates. On a single chip that
+one request already saturates (e.g. Lumina2 at 512px), every pool tick
+pays near-full-pool compute while slots sit idle between staggered
+arrivals — the measured staggered trace ran 0.28x the window
+scheduler's wall time. Prefer --scheduler window there.
+
 The engine is family-agnostic: everything family-specific (prompt
 encoding layout, scheduler tables, latent init, the jitted slot step,
 VAE decode) lives behind a small adapter protocol —
