@@ -23,4 +23,14 @@ run env VFT_FUSED_FF=1 $PY tools/bench/family_generate.py lumina2
 run $PY tools/bench/family_generate.py lumina2
 run env VFT_FLASH_BLOCK_K=1024 $PY tools/bench/family_generate.py lumina2
 run env VFT_FLASH_BLOCK_K=512 $PY tools/bench/family_generate.py lumina2
+# NF4 default decision: fused kernel vs XLA dequant on the remaining
+# NF4 surfaces (train b4 showed XLA 968.5 vs fused 1048.0)
+run env VFT_NF4_FUSED=0 $PY tools/bench/family_train_step.py auraflow --batch 1
+run env VFT_NF4_FUSED=0 $PY tools/bench/family_generate.py auraflow_nf4
+# flash bwd with a 32 MB scoped-VMEM stack: bigger k-blocks, fewer
+# full passes over Q/dO (the _bwd_block_cap lever, never yet measured)
+run env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=32768 VFT_SCOPED_VMEM_KIB=32768 \
+    VFT_LORA_CONCAT=0 $PY tools/bench/sdxl_train_step.py
+# SDXL train without the concat (the r4 regression check: 765 -> 827)
+run env VFT_LORA_CONCAT=0 $PY tools/bench/sdxl_train_step.py
 echo "round4b done $(date -u)" | tee -a "$LOG"
