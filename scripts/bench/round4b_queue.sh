@@ -33,4 +33,8 @@ run env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=32768 VFT_SCOPED_VMEM_KIB=3276
     VFT_LORA_CONCAT=0 $PY tools/bench/sdxl_train_step.py
 # SDXL train without the concat (the r4 regression check: 765 -> 827)
 run env VFT_LORA_CONCAT=0 $PY tools/bench/sdxl_train_step.py
+# cogview4 compiler-crash bisection: partial-q kill switch, then classic attn
+run env VFT_FLASH_PARTIAL_Q=0 $PY tools/bench/family_generate.py cogview4
+run env VFT_FLASH_PARTIAL_Q=0 VFT_PACKED_ATTN=0 $PY tools/bench/family_generate.py cogview4
+run $PY tools/bench/family_generate.py cogview4_w8a8
 echo "round4b done $(date -u)" | tee -a "$LOG"

@@ -218,6 +218,7 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
                 "sdxl": ["attn1", "attn2", ".ff."],
                 "lumina2": ["qkv", ".out", "w1", "w2", "w3"],
                 "auraflow": [".attn.", "c_fc1", "c_fc2", "c_proj"],
+                "cogview4": ["to_q", "to_k", "to_v", "to_out", ".proj"],
             }[base]
             model.params["denoiser"] = quantize_params(
                 model.params["denoiser"], "int8_w8a8", include_keys=include

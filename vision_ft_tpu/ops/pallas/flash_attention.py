@@ -612,12 +612,15 @@ def flash_attention_tpu(
     # overhead (s=1024: 0.174 -> 0.165 ms measured on v5e); the score
     # block tops out at 1024x1024 fp32 = 4 MB VMEM
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    # q is NEVER padded: the fwd grid takes a partial final block (Mosaic
-    # masks the boundary loads/stores — probe-verified exact on this
-    # build, tools/bench/partial_block_probe.py). k/v pad only to the
-    # next 128 when the key length is not 128-aligned (v pad rows must
-    # be zero: p=0 does not protect the PV dot from garbage v).
-    sq_pad = sq
+    # q is NOT padded by default: the fwd grid takes a partial final
+    # block (Mosaic masks the boundary loads/stores — probe-verified
+    # exact on this build, tools/bench/partial_block_probe.py;
+    # VFT_FLASH_PARTIAL_Q=0 restores the padded path as a kill switch).
+    # k/v pad only to the next 128 when the key length is not 128-aligned
+    # (v pad rows must be zero: p=0 does not protect the PV dot from
+    # garbage v).
+    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "1") != "0"
+    sq_pad = sq if partial_q else _round_up(sq, block_q)
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
     sk_pad = _round_up(sk_pad, block_k)  # no-op unless block_k was forced
@@ -625,7 +628,7 @@ def flash_attention_tpu(
     def pad(x, s_pad):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, d_pad - d)))
 
-    qp, kp, vp = pad(q, sq), pad(k, sk_pad), pad(v, sk_pad)
+    qp, kp, vp = pad(q, sq_pad), pad(k, sk_pad), pad(v, sk_pad)
 
     bias = None
     if mask is not None:
@@ -802,8 +805,11 @@ def flash_attention_bshd(
         scale = d**-0.5
 
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    # q unpadded (partial final grid block — see flash_attention_tpu);
-    # k/v pad only to the next 128 for non-aligned key lengths
+    # q unpadded by default (partial final grid block, kill switch
+    # VFT_FLASH_PARTIAL_Q=0 — see flash_attention_tpu); k/v pad only to
+    # the next 128 for non-aligned key lengths
+    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "1") != "0"
+    sq_pad = sq if partial_q else _round_up(sq, block_q)
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
     sk_pad = _round_up(sk_pad, block_k)  # no-op unless block_k was forced
@@ -812,10 +818,10 @@ def flash_attention_bshd(
         return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
 
     o = _flash_bshd_core(
-        q, pad_s(k, sk_pad), pad_s(v, sk_pad),
+        pad_s(q, sq_pad), pad_s(k, sk_pad), pad_s(v, sk_pad),
         scale, is_causal, sq, sk, block_q, block_k, group, d, interpret,
     )
-    return o
+    return o[:, :sq, :]
 
 
 def _bwd_dkvq_kernel_bshd(*refs, scale, causal, sq_actual,
