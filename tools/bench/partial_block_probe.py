@@ -23,7 +23,9 @@ from jax.experimental import pallas as pl
 
 
 def _kernel(x_ref, o_ref):
-    o_ref[...] = x_ref[...] * 2.0 + 1.0
+    # exact copy: value-transform probes mislead in bf16 (the first r4
+    # run "failed" bf16 cases purely on x*2+1 rounding vs an f32 oracle)
+    o_ref[...] = x_ref[...]
 
 
 def _lastaxis_kernel(x_ref, o_ref):
@@ -41,8 +43,9 @@ def _case(x, block_rows, dtype_name):
             out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((s, c), x.dtype),
         )(x)
-        ok = bool(jnp.allclose(y.astype(jnp.float32),
-                               x.astype(jnp.float32) * 2.0 + 1.0, atol=1e-2))
+        ok = bool(
+            (np.asarray(y, np.float32) == np.asarray(x, np.float32)).all()
+        )
         err = None
     except Exception as exc:  # lowering or runtime rejection
         ok, err = False, f"{type(exc).__name__}: {exc}"[:160]
