@@ -233,13 +233,12 @@ def test_lora_concat_dot_matches_delta_formulation():
         g_x = jax.grad(loss, 1)(trainable, x)
         return out, flatten_params(g_tr), g_x
 
-    assert os.environ.get("VFT_LORA_CONCAT", "1") != "0"
-    out_c, g_c, gx_c = run()
-    os.environ["VFT_LORA_CONCAT"] = "0"
+    os.environ["VFT_LORA_CONCAT"] = "1"
     try:
-        out_d, g_d, gx_d = run()
+        out_c, g_c, gx_c = run()
     finally:
         del os.environ["VFT_LORA_CONCAT"]
+    out_d, g_d, gx_d = run()  # default path: separate delta
 
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_d), rtol=1e-4, atol=1e-4)

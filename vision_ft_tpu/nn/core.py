@@ -467,10 +467,14 @@ class Linear(Module):
                 _PEFT_ENABLED[0]
                 and isinstance(params.get("lora_down"), dict)
                 and "bias" not in params.get("lora_up", {})
-                and os.environ.get("VFT_LORA_CONCAT", "1") != "0"
+                and os.environ.get("VFT_LORA_CONCAT", "0") == "1"
             ):
                 # rank-r LoRA folded into the base matmul (one dot, one
-                # output write) — see _lora_concat_dot
+                # output write) — see _lora_concat_dot. DEFAULT OFF: the
+                # r4 on-chip A/B measured the separate-delta path faster
+                # on SDXL (756.8 vs 830.2 ms/step) and the concat's
+                # weight/activation copies OOMing the Lumina2 b4 step —
+                # the lever stays for shapes where it may win
                 down_w = params["lora_down"]["weight"]
                 up_w = params["lora_up"]["weight"]
                 rank = down_w.shape[0]

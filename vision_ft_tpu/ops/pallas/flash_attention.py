@@ -42,24 +42,23 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _divisor_block_k(sk: int) -> int:
-    """K block size, preferring one that DIVIDES sk so k/v enter the
-    kernel unpadded (the r4 Lumina2 train profile put ~52 ms/step of
-    jnp.pad HBM copies on the classic-path wrapper at S=4352, which no
-    power-of-two block in [128, 1024] divides evenly... 256 does; 512
-    does not). Preference: LARGEST divisor — an on-chip A/B showed the
-    even-block-count/2x-unroll preference picking 128 cost ~5% on the
-    Lumina2 generate step vs bigger blocks; block size beats unroll.
-    VFT_FLASH_BLOCK_K forces a value (A/B lever). Falls back to the old
-    round-up behavior for non-128-aligned sequences."""
+    """K block size. DEFAULT: the legacy round-up choice (big blocks,
+    k/v padded in HBM when the key length doesn't divide) — the r4
+    on-chip A/Bs showed the sk-dividing small blocks costing far more in
+    kernel efficiency than the pads they saved (Lumina2 train 2951.8 ->
+    3313.1 ms with divisor blocks + unpadded q; generate +5% with 128
+    blocks). VFT_FLASH_DIVISOR_K=1 re-enables largest-divisor selection
+    (no k/v pads); VFT_FLASH_BLOCK_K forces an exact size (A/B lever)."""
     forced = os.environ.get("VFT_FLASH_BLOCK_K")
     if forced:
         return int(forced)
     legacy = min(BLOCK_K, _round_up(sk, 128))
-    if sk % legacy == 0:  # measured-good configs (SDXL 4096/1024) unchanged
+    if sk % legacy == 0:  # SDXL 4096/1024: unchanged either way
         return legacy
-    for c in (BLOCK_K, 512, 256, 128):
-        if sk % c == 0:
-            return c
+    if os.environ.get("VFT_FLASH_DIVISOR_K", "0") == "1":
+        for c in (BLOCK_K, 512, 256, 128):
+            if sk % c == 0:
+                return c
     return legacy
 
 
@@ -612,14 +611,15 @@ def flash_attention_tpu(
     # overhead (s=1024: 0.174 -> 0.165 ms measured on v5e); the score
     # block tops out at 1024x1024 fp32 = 4 MB VMEM
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    # q is NOT padded by default: the fwd grid takes a partial final
-    # block (Mosaic masks the boundary loads/stores — probe-verified
-    # exact on this build, tools/bench/partial_block_probe.py;
-    # VFT_FLASH_PARTIAL_Q=0 restores the padded path as a kill switch).
+    # q padding. DEFAULT: legacy round-up (the r4 A/Bs measured the
+    # unpadded-q geometry slower overall — its backward needs an
+    # sq-dividing block, and the resulting small-M dots cost more than
+    # the pads they saved). VFT_FLASH_PARTIAL_Q=1 opts into the partial
+    # final grid block (Mosaic-masked, probe-verified exact).
     # k/v pad only to the next 128 when the key length is not 128-aligned
     # (v pad rows must be zero: p=0 does not protect the PV dot from
     # garbage v).
-    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "1") != "0"
+    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "0") == "1"
     sq_pad = sq if partial_q else _round_up(sq, block_q)
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
@@ -805,10 +805,9 @@ def flash_attention_bshd(
         scale = d**-0.5
 
     block_q = _round_up(sq, 128) if sq <= 1024 else min(BLOCK_Q, _round_up(sq, 128))
-    # q unpadded by default (partial final grid block, kill switch
-    # VFT_FLASH_PARTIAL_Q=0 — see flash_attention_tpu); k/v pad only to
-    # the next 128 for non-aligned key lengths
-    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "1") != "0"
+    # q padded by default; VFT_FLASH_PARTIAL_Q=1 opts into the
+    # unpadded partial final grid block (see flash_attention_tpu)
+    partial_q = os.environ.get("VFT_FLASH_PARTIAL_Q", "0") == "1"
     sq_pad = sq if partial_q else _round_up(sq, block_q)
     sk_pad = sk if sk % 128 == 0 else _round_up(sk, 128)
     block_k = _divisor_block_k(sk_pad)
