@@ -266,3 +266,34 @@ def test_lumina2_shape_divisor_path_fwd_and_grad():
             np.asarray(gf), np.asarray(gx), atol=5e-5, rtol=1e-4,
             err_msg=f"d{name} mismatch",
         )
+
+
+@pytest.mark.parametrize("sq,sk,d", [(1024, 77, 64), (256, 77, 64), (512, 128, 128)])
+def test_shortk_forward_and_grad_match_xla(sq, sk, d):
+    """VMEM-resident short-K cross-attention kernel (SDXL's Sk=77 path):
+    forward and all three gradients vs the XLA oracle."""
+    from vision_ft_tpu.ops.pallas.flash_attention import flash_attention_shortk
+
+    b, h = 2, 3
+    q, k, v = _rand(0, (b, h, sq, d)), _rand(1, (b, h, sk, d)), _rand(2, (b, h, sk, d))
+
+    def loss_flash(q, k, v):
+        o = flash_attention_shortk(q, k, v, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, None, d**-0.5, False)
+        return jnp.sum(o * jnp.cos(o))
+
+    np.testing.assert_allclose(
+        np.asarray(flash_attention_shortk(q, k, v, interpret=True)),
+        np.asarray(_xla_attention(q, k, v, None, d**-0.5, False)),
+        atol=2e-5, rtol=2e-5,
+    )
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )

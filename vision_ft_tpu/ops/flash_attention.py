@@ -13,6 +13,7 @@ Full (B, H, Sq, Sk) float/bool masks and CPU runs fall back to XLA
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -67,6 +68,18 @@ def flash_attention(
                 q, k, v, mask=key_mask, scale=scale, is_causal=is_causal,
                 tag_qkv=tag_qkv,
             )
+        if (
+            sk <= 192
+            and mask is None
+            and not is_causal
+            and os.environ.get("VFT_FLASH_SHORTK", "0") == "1"
+        ):
+            # VMEM-resident short-K kernel (SDXL 77-token cross attn):
+            # keeps the (B,H,Sq,Sk) f32 logits out of HBM entirely.
+            # Opt-in until the on-chip A/B vs the XLA path lands.
+            from .pallas.flash_attention import flash_attention_shortk
+
+            return flash_attention_shortk(q, k, v, scale=scale)
 
     from .attention import _xla_attention
 

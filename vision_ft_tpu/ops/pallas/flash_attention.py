@@ -1206,3 +1206,217 @@ def flash_attention_with_lse(
         scale, sq, sk, block_q, block_k, interpret,
     )
     return o[:, :, :sq, :d], lse[:, :, :sq]
+
+
+# ---------------------------------------------------------------------------
+# short-K cross-attention kernel — the SDXL text cross-attn path
+#
+# SDXL's cross attention runs at Sk=77 (the CLIP context), which the main
+# kernel refuses (<256 keys: its grid overhead loses to XLA). But the XLA
+# path materializes the (B, H, Sq, Sk) logits in fp32 HBM and re-reads
+# them through softmax fwd+bwd — ~65 ms/step of the r4 SDXL train profile
+# (ops/attention.py:48-155 lines). Here the WHOLE key context lives in
+# VMEM: one program per q block computes logits, softmax and PV without
+# the logits ever touching HBM; the backward fuses dq/dk/dv in a single
+# kernel with grid-persistent dk/dv accumulators (the same
+# revisited-output trick as the fused dq). No mask / causal support —
+# those cases stay on the XLA path.
+
+
+def _fwd_kernel_shortk(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                       sk_actual, sk_pad, d):
+    q = q_ref[0]                       # (BQ, d)
+    k = k_ref[0]                       # (SKP, d)
+    v = v_ref[0]
+    vones = d % 128 != 0
+    if vones:
+        v = jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                          # (BQ, SKP) f32 — VMEM only
+    if sk_actual < sk_pad:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+    m = jnp.max(s, axis=1)
+    p = jnp.exp(s - m[:, None])
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l = acc[:, d] if vones else jnp.sum(p, axis=1)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = ((acc[:, :d] if vones else acc) / l_safe[:, None]).astype(
+        o_ref.dtype
+    )
+    lse_ref[0] = jnp.broadcast_to(
+        (m + jnp.log(l_safe))[None, :], (8, q.shape[0])
+    )
+
+
+def _bwd_kernel_shortk(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, sk_actual, sk_pad, d):
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _zero():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]                       # (BQ, d)
+    k = k_ref[0]                       # (SKP, d)
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if sk_actual < sk_pad:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_pos < sk_actual, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    dv_ref[0] = dv_ref[0] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)
+    dk_ref[0] = dk_ref[0] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+
+SHORTK_MAX = 192  # pad-to-128/256 keeps the whole context one lane tile-ish
+
+
+def _shortk_blocks(sq: int) -> int:
+    block_q = min(2048, sq)
+    while sq % block_q:
+        block_q //= 2
+    return block_q
+
+
+def _shortk_fwd_call(q, k, v, scale, sk_actual, interpret):
+    b, h, sq, d = q.shape
+    sk_pad = k.shape[2]
+    block_q = _shortk_blocks(sq)
+    o, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_shortk, scale=scale, sk_actual=sk_actual,
+            sk_pad=sk_pad, d=d,
+        ),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 8, sq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q.reshape(b * h, sq, d), k.reshape(b * h, sk_pad, d),
+      v.reshape(b * h, sk_pad, d))
+    return o.reshape(b, h, sq, d), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _shortk_core(q, k, v, scale, sk_actual, interpret):
+    o, _ = _shortk_fwd_call(q, k, v, scale, sk_actual, interpret)
+    return o
+
+
+def _shortk_core_fwd(q, k, v, scale, sk_actual, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    o, lse = _shortk_fwd_call(q, k, v, scale, sk_actual, interpret)
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    q = checkpoint_name(q, "flash_qkv")
+    k = checkpoint_name(k, "flash_qkv")
+    v = checkpoint_name(v, "flash_qkv")
+    return o, (q, k, v, o, lse)
+
+
+def _shortk_core_bwd(scale, sk_actual, interpret, res, g):
+    q, k, v, o, lse = res
+    b, h, sq, d = q.shape
+    sk_pad = k.shape[2]
+    block_q = _shortk_blocks(sq)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta_ = jnp.broadcast_to(
+        delta.reshape(b * h, 1, sq), (b * h, 8, sq)
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_shortk, scale=scale, sk_actual=sk_actual,
+            sk_pad=sk_pad, d=d,
+        ),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 8, block_q), lambda bh, qi: (bh, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            # constant in qi: grid-persistent f32 dk/dv accumulators
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q.reshape(b * h, sq, d), k.reshape(b * h, sk_pad, d),
+      v.reshape(b * h, sk_pad, d), g.reshape(b * h, sq, d), lse, delta_)
+    return (
+        dq.reshape(b, h, sq, d),
+        dk.reshape(b, h, sk_pad, d).astype(k.dtype),
+        dv.reshape(b, h, sk_pad, d).astype(v.dtype),
+    )
+
+
+_shortk_core.defvjp(_shortk_core_fwd, _shortk_core_bwd)
+
+
+def flash_attention_shortk(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """VMEM-resident attention for short key contexts (sk <= SHORTK_MAX):
+    SDXL's 77-token cross attention. No mask / causal support — callers
+    dispatch those to the XLA path."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    sk_pad = _round_up(sk, 128)
+    dp = d if d % 8 == 0 else _round_up(d, 128)
+
+    def pad_kv(x):
+        return jnp.pad(
+            x, ((0, 0), (0, 0), (0, sk_pad - sk), (0, dp - d))
+        )
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d))) if dp != d else q
+    o = _shortk_core(qp, pad_kv(k), pad_kv(v), scale, sk, interpret)
+    return o[:, :, :, :d] if dp != d else o
