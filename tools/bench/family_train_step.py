@@ -189,7 +189,9 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, frozen, batch_dict, key)
-    jax.block_until_ready(m)
+        # block EVERY iteration (see sdxl_train_step.py: a final-only
+        # block mis-reported an impossible step time once on axon)
+        jax.block_until_ready(m)
     el = (time.perf_counter() - t0) / iters
 
     print(

@@ -144,7 +144,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, frozen, batch_dict, key)
-    jax.block_until_ready(m)
+        # block EVERY iteration: one r4c run on the axon backend reported
+        # 21.7 ms/step (impossible) with only the final block — the
+        # tunnel appears to ack in-flight chains early in some states
+        jax.block_until_ready(m)
     el = (time.perf_counter() - t0) / iters
 
     import json
