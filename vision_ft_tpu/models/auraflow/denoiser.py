@@ -88,7 +88,8 @@ class AuraMLP(ModuleDict):
         if (
             self.act_name is not None
             and fused_ff_enabled(
-                x, params["c_fc1"], params["c_fc2"], params["c_proj"]
+                x, params["c_fc1"], params["c_fc2"], params["c_proj"],
+                inner=inner,
             )
             and x.shape[-1] == c
             and supported(c, inner)

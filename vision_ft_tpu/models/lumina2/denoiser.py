@@ -163,7 +163,8 @@ class FeedForward(ModuleDict):
             params["w2"]["weight"], dict
         ) else (0, 0)
         if (
-            fused_ff_enabled(x, params["w1"], params["w2"], params["w3"])
+            fused_ff_enabled(x, params["w1"], params["w2"], params["w3"],
+                             inner=inner)
             and x.shape[-1] == c
             and supported(c, inner)
         ):

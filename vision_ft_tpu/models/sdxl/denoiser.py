@@ -122,17 +122,19 @@ def _fused_ff_applies(p1, p2, x) -> bool:
     (non-quantized, adapter-free) weights with biases, lane-aligned
     shapes. Anything else — LoRA/LoHa deltas, NF4/fp8/W8A8 subtrees,
     fp32 golden-parity runs — keeps the XLA path, whose split/gelu
-    numerics the parity suite pins. VFT_FUSED_FF=1 enables (A/B lever;
-    the r4 on-chip A/B measured a wash at SDXL widths, so the default
-    stays 0 — docs/PERFORMANCE.md "Round-4 measurements")."""
+    numerics the parity suite pins. Width-auto default: the r4 on-chip
+    A/B measured a wash at SDXL widths (inner <= 5120, below the 8192
+    auto threshold), so SDXL stays on XLA unless VFT_FUSED_FF=1 forces
+    the kernel — docs/PERFORMANCE.md "Round-4 measurements"."""
     from ...ops.pallas.fused_mlp import fused_ff_enabled, supported
 
-    if not fused_ff_enabled(x, p1, p2):
-        return False
     if "bias" not in p1 or "bias" not in p2:
         return False
-
+    if isinstance(p2["weight"], dict):
+        return False
     c, inner = p2["weight"].shape
+    if not fused_ff_enabled(x, p1, p2, inner=inner):
+        return False
     return x.shape[-1] == c and supported(c, inner)
 
 

@@ -186,21 +186,24 @@ def supported(c: int, inner: int) -> bool:
     return c % 128 == 0 and inner % 256 == 0
 
 
-def fused_ff_enabled(x, *param_dicts) -> bool:
-    """Shared fast-path gate for the family feed-forwards: VFT_FUSED_FF=1
-    opted in, bf16 activations on a real TPU, and every Linear subtree a
-    plain dense weight (no NF4/fp8/W8A8 dicts, no LoRA/LoHa adapter
-    keys — those keep the XLA formulation whose numerics and adapter
-    deltas the parity suite pins).
+def fused_ff_enabled(x, *param_dicts, inner: Optional[int] = None) -> bool:
+    """Shared fast-path gate for the family feed-forwards: bf16
+    activations on a real TPU, and every Linear subtree a plain dense
+    weight (no NF4/fp8/W8A8 dicts, no LoRA/LoHa adapter keys — those
+    keep the XLA formulation whose numerics and adapter deltas the
+    parity suite pins).
 
-    Default is 0: the r4 on-chip A/B measured the kernel a wash on the
-    SDXL headline bench (10.466 vs 10.482 steps/s) — XLA's ff fusion is
-    already at the same operating point at 640/1280-ch widths. The
-    kernel stays as an opt-in for the wider DiT ffs (docs/PERFORMANCE.md
-    "Round-4 measurements")."""
+    Width-auto default (r4 on-chip A/Bs): the kernel WINS on wide DiT
+    ffs — Lumina2 generate 8.87 s vs 9.78 s XLA (inner 9216) — and is a
+    wash at SDXL widths (10.466 vs 10.482 steps/s on the headline bench,
+    inner <= 5120). Unset env -> fused iff ``inner`` >= 8192;
+    VFT_FUSED_FF=1/0 forces either way."""
     import os
 
-    if os.environ.get("VFT_FUSED_FF", "0") == "0":
+    env = os.environ.get("VFT_FUSED_FF")
+    if env == "0":
+        return False
+    if env != "1" and (inner is None or inner < 8192):
         return False
     if x.dtype != jnp.bfloat16 or jax.default_backend() != "tpu":
         return False
