@@ -95,15 +95,16 @@ def main() -> None:
 
         out = run(latents)
         jax.block_until_ready(out)
-        # chain latents between iterations (real dependency) and block
-        # every call: independent in-flight executions on the axon
-        # backend reported ~0 ms when only the last was blocked (r4)
+        # chain latents between iterations AND fetch a scalar to host
+        # each call: block_until_ready alone reported 1-2 ms "steps"
+        # through the axon tunnel (early acks); a device->host transfer
+        # of the result cannot be faked
         lat = out[0]
         t0 = time.perf_counter()
         for _ in range(steps):
             out = run(lat)
             lat = out[0]
-            jax.block_until_ready(lat)
+            float(jnp.sum(lat.astype(jnp.float32)))
         dt = (time.perf_counter() - t0) / steps
         per_img = dt / batch * 1000
         rows.append({"batch": batch, "ms_per_step": round(dt * 1000, 1),
