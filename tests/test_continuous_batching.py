@@ -520,6 +520,10 @@ class _TraceAdapter:
 
     latent_shape = (2, 2, 1)
     dtype = jnp.float32
+    # keep pool ticks un-jitted so this adapter's recording sees
+    # concrete values (the engine's device tick traces adapters by
+    # default)
+    jit_pool_tick = False
 
     def __init__(self):
         self.ticks = []

@@ -439,17 +439,48 @@ class ContinuousBatcher:
         self._latents = jnp.zeros((s, h, w, c), adapter.dtype)
         self._ctx = adapter.blank_context(s)
 
-        # host-side per-slot tables (tiny; gathered into vectors per tick)
-        self._t_table = np.zeros((s, max_steps), np.float32)
-        self._sig_table = np.zeros((s, max_steps + 1), np.float32)
+        # host mirrors for admission/retirement bookkeeping
         self._step_idx = np.zeros(s, np.int64)
         self._total = np.zeros(s, np.int64)
-        self._scalars = {
-            name: np.full(s, default, dtype)
-            for name, (default, dtype) in adapter.scalar_fields().items()
-        }
         self._active = np.zeros(s, bool)
         self._pending_by_slot: list[Optional[_Pending]] = [None] * s
+
+        # DEVICE-resident per-slot state: a tick is ONE dispatch + ONE
+        # small fetch. The first cut kept the schedule tables on host and
+        # shipped six little arrays per tick — through the axon tunnel
+        # each transfer pays a full round trip, and the measured
+        # staggered trace spent ~1.1 s/tick on a ~0.1 s device step
+        # (docs/PERFORMANCE.md "Continuous batching").
+        self._d_t = jnp.zeros((s, max_steps), jnp.float32)
+        self._d_sig = jnp.zeros((s, max_steps + 1), jnp.float32)
+        self._d_idx = jnp.zeros(s, jnp.int32)
+        self._d_total = jnp.ones(s, jnp.int32)
+        self._d_active = jnp.zeros(s, bool)
+        self._d_scalars = {
+            name: jnp.asarray(np.full(s, default, dtype))
+            for name, (default, dtype) in adapter.scalar_fields().items()
+        }
+
+        def _pool_tick(latents, ctx, t_tab, sig_tab, idx, total, scalars,
+                       active):
+            rows = jnp.arange(s)
+            cidx = jnp.clip(idx, 0, jnp.maximum(total, 1) - 1)
+            t = t_tab[rows, cidx]
+            sigma = sig_tab[rows, cidx]
+            next_sigma = sig_tab[rows, cidx + 1]
+            new_lat = adapter.slot_step(
+                latents, ctx, t, sigma, next_sigma, cidx,
+                jnp.maximum(total, 1), scalars, active,
+            )
+            return new_lat, jnp.where(active, idx + 1, idx)
+
+        # adapters that RECORD their per-tick inputs (the scheduler-logic
+        # test oracle) opt out of jit so values stay concrete
+        self._pool_tick = (
+            jax.jit(_pool_tick)
+            if getattr(adapter, "jit_pool_tick", True)
+            else _pool_tick
+        )
 
         self._queue: list[_Pending] = []
         self._cv = threading.Condition()
@@ -511,45 +542,55 @@ class ContinuousBatcher:
                 pending.event.set()
                 continue
             j = free.pop(0)
-            self._t_table[j, :n] = t_row
-            self._sig_table[j, : n + 1] = sig_row
+            row_t = np.zeros(self.max_steps, np.float32)
+            row_t[:n] = t_row
+            row_sig = np.zeros(self.max_steps + 1, np.float32)
+            row_sig[: n + 1] = sig_row
+            self._d_t = self._d_t.at[j].set(row_t)
+            self._d_sig = self._d_sig.at[j].set(row_sig)
+            self._d_idx = self._d_idx.at[j].set(0)
+            self._d_total = self._d_total.at[j].set(n)
             self._step_idx[j] = 0
             self._total[j] = n
-            for name, value in self.adapter.request_scalars(r).items():
-                self._scalars[name][j] = value
+            scalars = dict(self.adapter.request_scalars(r))
             seed = r.seed if r.seed is not None else int(
                 np.random.randint(0, 2**31 - 1)
             )
-            if "seed" in self._scalars:
-                self._scalars["seed"][j] = seed
+            if "seed" in self._d_scalars:
+                scalars["seed"] = seed
+            for name, value in scalars.items():
+                self._d_scalars[name] = self._d_scalars[name].at[j].set(value)
             self._latents = self._latents.at[j].set(
                 self.adapter.init_latents(r, seed, sig_row[: n + 1])
             )
             self._ctx = self.adapter.write_slot(self._ctx, j, row)
+            self._d_active = self._d_active.at[j].set(True)
             self._active[j] = True
             self._pending_by_slot[j] = pending
 
+    _BACKPRESSURE_TICKS = 4
+
     def _tick(self):
-        """One pool step + retire finished slots."""
-        idx = np.minimum(self._step_idx, self._total - 1).clip(min=0)
-        rows = np.arange(self.num_slots)
-        t = self._t_table[rows, idx]
-        sigma = self._sig_table[rows, idx]
-        next_sigma = self._sig_table[rows, idx + 1]
-        self._latents = self.adapter.slot_step(
-            self._latents, self._ctx,
-            jnp.asarray(t), jnp.asarray(sigma), jnp.asarray(next_sigma),
-            jnp.asarray(idx.astype(np.int32)),
-            jnp.asarray(np.maximum(self._total, 1).astype(np.int32)),
-            {name: jnp.asarray(v) for name, v in self._scalars.items()},
-            jnp.asarray(self._active),
+        """One pool step (a single device dispatch over device-resident
+        per-slot state) + retire finished slots. Host step counters
+        advance in lockstep with the device (each tick increments active
+        slots by exactly one), so no per-tick fetch is needed; every few
+        ticks we block on the device index vector so the dispatch queue
+        cannot run unboundedly ahead of execution."""
+        self._latents, self._d_idx = self._pool_tick(
+            self._latents, self._ctx, self._d_t, self._d_sig,
+            self._d_idx, self._d_total, self._d_scalars, self._d_active,
         )
+        self._ticks = getattr(self, "_ticks", 0) + 1
+        if self._ticks % self._BACKPRESSURE_TICKS == 0:
+            jax.block_until_ready(self._d_idx)
         self._step_idx[self._active] += 1
         done = self._active & (self._step_idx >= self._total)
         for j in np.nonzero(done)[0]:
             pending = self._pending_by_slot[int(j)]
             self._pending_by_slot[int(j)] = None
             self._active[j] = False
+            self._d_active = self._d_active.at[int(j)].set(False)
             try:
                 pending.image = self.adapter.decode(self._latents[int(j)])
             except Exception as exc:  # deliver, don't kill the worker
