@@ -177,6 +177,7 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
         nf4_keys = {
             "flux": ["qkv", ".proj", "linear1", "linear2",
                      "img_mlp", "txt_mlp", "img_attn", "txt_attn"],
+            "cogview4": ["to_q", "to_k", "to_v", "to_out", ".proj"],
         }.get(base, ["attn", "c_fc1", "c_fc2", "c_proj", "linear_1", "linear_2"])
         # auraflow_nf4: quantize the XXL text encoder's big Linears too so
         # the whole pipeline is HBM-resident (see posture note above)
@@ -189,6 +190,11 @@ def bench(name: str, deep_cache: int | None = None, batch: int = 1,
             "flux": ["SelfAttention.q", "SelfAttention.k",
                      "SelfAttention.v", "SelfAttention.o",
                      "wi_0", "wi_1", "wo"],
+            # cogview4: the GLM-4-9B tower (18 GB bf16) is the reason the
+            # full-bf16 posture can never fit a 16 GB chip (r4 bisect:
+            # the "compiler crash" was compile-time OOM)
+            "cogview4": ["q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_up_proj", "down_proj"],
         }.get(base)
         if te_nf4_keys is not None:
             te_params = quantize_params_zeros(abstract["text_encoder"], te_nf4_keys)
