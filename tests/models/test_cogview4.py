@@ -121,7 +121,10 @@ def test_glm_parity_vs_transformers():
     np.testing.assert_allclose(np.asarray(penult), expected_penult, atol=3e-4, rtol=3e-4)
 
 
-def test_generate_end_to_end(tmp_path):
+def _tiny_model():
+    """Full tiny CogView4Model (DiT + GLM + KL-VAE) on random weights —
+    shared by the pipeline e2e test and the continuous-batching adapter
+    tests."""
     from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
     from vision_ft_tpu.models.cogview4.pipeline import CogView4Model
     from vision_ft_tpu.models.text_encoders.glm import GlmConfig
@@ -140,7 +143,7 @@ def test_generate_end_to_end(tmp_path):
     config = CogView4Config(
         checkpoint_path="unused", dtype="float32", denoiser=DenoiserConfig(**TINY)
     )
-    model = CogView4Model(
+    return CogView4Model(
         config, tokenizer=Tok(),
         vae_config=AutoencoderKLConfig(
             block_out_channels=(8, 8, 16, 16), latent_channels=4, norm_num_groups=4,
@@ -152,6 +155,10 @@ def test_generate_end_to_end(tmp_path):
             num_attention_heads=4, num_key_value_heads=2, head_dim=16,
         ),
     )
+
+
+def test_generate_end_to_end(tmp_path):
+    model = _tiny_model()
     model.init_params(jax.random.PRNGKey(0))
     images = model.generate(
         "a cat on a mat", width=32, height=32, num_inference_steps=2,

@@ -129,7 +129,10 @@ def test_t5_classic_parity_vs_transformers():
     np.testing.assert_allclose(got[1, :6], expected[1, :6], atol=2e-4, rtol=2e-4)
 
 
-def test_generate_end_to_end(tmp_path):
+def _tiny_model():
+    """Full tiny FluxModel (MMDiT + CLIP + UMT5 + KL-VAE) on random
+    weights — shared by the pipeline e2e test and the continuous-batching
+    adapter tests."""
     from vision_ft_tpu.models.autoencoder import AutoencoderKLConfig
     from vision_ft_tpu.models.flux.pipeline import FluxModel
     from vision_ft_tpu.models.text_encoders.clip import CLIPTextConfig
@@ -163,7 +166,7 @@ def test_generate_end_to_end(tmp_path):
         checkpoint_path="unused", dtype="float32",
         denoiser=dict(TINY, vec_in_dim=48),
     )
-    model = FluxModel(
+    return FluxModel(
         config,
         clip_tokenizer=ClipTok(), t5_tokenizer=T5Tok(),
         vae_config=AutoencoderKLConfig(
@@ -180,6 +183,10 @@ def test_generate_end_to_end(tmp_path):
             per_layer_relative_bias=False,
         ),
     )
+
+
+def test_generate_end_to_end(tmp_path):
+    model = _tiny_model()
     model.init_params(jax.random.PRNGKey(0))
     images = model.generate(
         "a cat", width=32, height=32, num_inference_steps=2, cfg_scale=2.0,

@@ -784,3 +784,260 @@ def test_schedule_longer_than_num_steps_is_validated(model):
         assert not isinstance(results["ok"], Exception)
     finally:
         engine.close()
+
+
+def test_pool_tick_captures_no_weight_constants(model):
+    """Regression guard for the r4 serving bug: jitting the pool tick
+    through an adapter whose ``slot_step`` closed over the live model
+    params baked the FULL weight tree into the compiled program as
+    captured constants (measured: 5.13 GB for SDXL — duplicate HBM and
+    a stalled compile). The params must flow through the tick as an
+    ARGUMENT: tracing the tick may close over at most kilobytes of
+    scheduler tables, never anything the size of the weight tree."""
+    adapter = SDXLSlotAdapter(model, height=32, width=32)
+    engine = ContinuousBatcher(adapter, num_slots=2, max_steps=4)
+    try:
+        closed = jax.make_jaxpr(engine._pool_tick_fn)(
+            engine._params, engine._latents, engine._ctx, engine._d_t,
+            engine._d_sig, engine._d_idx, engine._d_total,
+            engine._d_scalars, engine._d_active,
+        )
+        const_bytes = sum(
+            int(np.asarray(c).nbytes)
+            for c in closed.consts
+            if hasattr(c, "shape")
+        )
+        param_bytes = sum(
+            int(x.nbytes) for x in jax.tree.leaves(engine._params)
+        )
+        assert param_bytes > 0  # the adapter really threads params
+        assert const_bytes < 64 * 1024, (
+            f"pool tick captured {const_bytes} bytes of constants "
+            f"(weight tree is {param_bytes}); weights must be tick "
+            f"ARGUMENTS, not closure captures"
+        )
+    finally:
+        engine.close()
+
+
+# -- CogView4 (flow matching + size conditioning) ------------------------------
+
+
+@pytest.fixture(scope="module")
+def cogview4_model():
+    from tests.models.test_cogview4 import _tiny_model
+
+    m = _tiny_model()
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_cogview4_slot_step_matches_denoise_step(cogview4_model):
+    """One active slot in a 2-slot pool reproduces the batch-1 flow step
+    for both gates (CFG on, cfg_scale<=1 off)."""
+    from vision_ft_tpu.serving import CogView4SlotAdapter
+
+    model = cogview4_model
+    adapter = CogView4SlotAdapter(model, height=32, width=32,
+                                  max_token_length=8)
+    enc = model.text_encoder.encode_prompts(
+        model.params["text_encoder"], ["a cat"], ["blurry"],
+        use_negative_prompts=True, max_token_length=8,
+    )
+    pos = enc.positive_embeddings.astype(model.dtype)
+    neg = enc.negative_embeddings.astype(model.dtype)
+
+    rng = np.random.default_rng(0)
+    h, w, c = adapter.latent_shape
+    lat = jnp.asarray(rng.standard_normal((1, h, w, c), np.float32),
+                      model.dtype)
+    t, sigma, next_sigma = 800.0, 0.8, 0.6
+    size1 = jnp.broadcast_to(jnp.asarray([32.0, 32.0], jnp.float32), (2, 2))
+    crop1 = jnp.zeros((2, 2), jnp.float32)
+
+    for cfg_scale, do_cfg in ((4.0, True), (1.0, False)):
+        emb = jnp.concatenate([pos, neg]) if do_cfg else pos
+        nb = emb.shape[0]
+        ref = model._denoise_step(
+            model.params["denoiser"], lat, jnp.float32(t),
+            jnp.float32(sigma), jnp.float32(next_sigma), emb,
+            size1[:nb], size1[:nb], crop1[:nb], jnp.float32(cfg_scale),
+            do_cfg=do_cfg,
+        )
+        pool_lat = jnp.concatenate([lat, jnp.zeros_like(lat)])
+        emb2 = jnp.stack(
+            [pos[0], jnp.zeros_like(pos[0]), neg[0], jnp.zeros_like(neg[0])]
+        )
+        size4 = jnp.broadcast_to(jnp.asarray([32.0, 32.0], jnp.float32),
+                                 (4, 2))
+        out = model._slot_step(
+            model.params["denoiser"], pool_lat,
+            jnp.asarray([t, 0.0], jnp.float32),
+            jnp.asarray([sigma, 0.0], jnp.float32),
+            jnp.asarray([next_sigma, 0.0], jnp.float32),
+            emb2, size4, size4, jnp.zeros((4, 2), jnp.float32),
+            jnp.asarray([cfg_scale, 1.0], jnp.float32),
+            jnp.asarray([True, False]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0], np.float32), np.asarray(ref[0], np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"case cfg={cfg_scale}",
+        )
+        np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+
+
+def test_cogview4_pool_parity_with_generate(cogview4_model):
+    """Concurrent CogView4 requests with different step counts, seeds and
+    guidance each match their own batch-1 generate()."""
+    from vision_ft_tpu.serving import CogView4SlotAdapter
+
+    model = cogview4_model
+    requests = [
+        SlotRequest("a cat sitting", "blurry", num_inference_steps=3,
+                    cfg_scale=4.0, seed=1),
+        SlotRequest("a dog running", "", num_inference_steps=5,
+                    cfg_scale=1.0, seed=9),
+    ]
+
+    def gen(r):
+        return model.generate(
+            r.prompt, negative_prompt=r.negative_prompt or None,
+            width=32, height=32, num_inference_steps=r.num_inference_steps,
+            cfg_scale=r.cfg_scale, max_token_length=8, seed=r.seed,
+        )[0]
+
+    expected = [gen(r) for r in requests]
+
+    adapter = CogView4SlotAdapter(model, height=32, width=32,
+                                  max_token_length=8)
+    engine = ContinuousBatcher(adapter, num_slots=2, max_steps=8)
+    try:
+        results = [None] * len(requests)
+
+        def run(i):
+            results[i] = engine.submit(requests[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(requests))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert all(r is not None for r in results)
+    finally:
+        engine.close()
+
+    for got, want, r in zip(results, expected, requests):
+        _images_close(got, want, regen=lambda r=r: gen(r),
+                      solo=lambda r=r: _solo_engine(adapter, r, max_steps=8))
+
+
+# -- Flux (rectified flow, distilled guidance) ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def flux_model():
+    from tests.models.test_flux import _tiny_model
+
+    m = _tiny_model()
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+def test_flux_slot_step_matches_denoise_step(flux_model):
+    """One active slot in a 2-slot pool reproduces the batch-1 rectified
+    flow step for both gates (CFG on, cfg_scale<=1 off), including the
+    delta = 1/num_steps derivation from the per-slot total vector."""
+    from vision_ft_tpu.serving import FluxSlotAdapter
+
+    model = flux_model
+    adapter = FluxSlotAdapter(model, height=32, width=32, max_token_length=8)
+    enc = model.text_encoder.encode_prompts(
+        model.params["text_encoder"], ["a cat"], ["blurry"],
+        use_negative_prompts=True, t5_max_token_length=8,
+    )
+    t5_pos = enc.t5.positive_embeddings.astype(model.dtype)
+    t5_neg = enc.t5.negative_embeddings.astype(model.dtype)
+    clip_pos = enc.clip.positive_embeddings.astype(model.dtype)
+    clip_neg = enc.clip.negative_embeddings.astype(model.dtype)
+
+    rng = np.random.default_rng(0)
+    h, w, c = adapter.latent_shape
+    lat = jnp.asarray(rng.standard_normal((1, h, w, c), np.float32),
+                      model.dtype)
+    t, total, guidance = 0.75, 4, 3.5
+
+    for cfg_scale, do_cfg in ((2.0, True), (1.0, False)):
+        t5 = jnp.concatenate([t5_pos, t5_neg]) if do_cfg else t5_pos
+        clip = jnp.concatenate([clip_pos, clip_neg]) if do_cfg else clip_pos
+        ref = model._denoise_step(
+            model.params["denoiser"], lat, jnp.float32(t),
+            jnp.float32(1.0 / total), t5, clip, jnp.float32(guidance),
+            jnp.float32(cfg_scale), do_cfg=do_cfg,
+        )
+        pool_lat = jnp.concatenate([lat, jnp.zeros_like(lat)])
+        t5_2 = jnp.stack([t5_pos[0], jnp.zeros_like(t5_pos[0]),
+                          t5_neg[0], jnp.zeros_like(t5_neg[0])])
+        clip_2 = jnp.stack([clip_pos[0], jnp.zeros_like(clip_pos[0]),
+                            clip_neg[0], jnp.zeros_like(clip_neg[0])])
+        out = model._slot_step(
+            model.params["denoiser"], pool_lat,
+            jnp.asarray([t, 0.0], jnp.float32),
+            jnp.asarray([total, 1], jnp.int32),
+            t5_2, clip_2,
+            jnp.asarray([guidance, 1.0], jnp.float32),
+            jnp.asarray([cfg_scale, 1.0], jnp.float32),
+            jnp.asarray([True, False]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0], np.float32), np.asarray(ref[0], np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"case cfg={cfg_scale}",
+        )
+        np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+
+
+def test_flux_pool_parity_with_generate(flux_model):
+    """Concurrent Flux requests with different step counts, seeds and
+    distilled guidance each match their own batch-1 generate()."""
+    from vision_ft_tpu.serving import FluxSlotAdapter
+
+    model = flux_model
+    requests = [
+        SlotRequest("a cat sitting", "blurry", num_inference_steps=3,
+                    cfg_scale=2.0, distilled_guidance=3.5, seed=1),
+        SlotRequest("a dog running", "", num_inference_steps=5,
+                    cfg_scale=1.0, distilled_guidance=1.0, seed=9),
+    ]
+
+    def gen(r):
+        return model.generate(
+            r.prompt, negative_prompt=r.negative_prompt or None,
+            width=32, height=32, num_inference_steps=r.num_inference_steps,
+            cfg_scale=r.cfg_scale,
+            distilled_guidance_scale=r.distilled_guidance,
+            max_token_length=8, seed=r.seed,
+        )[0]
+
+    expected = [gen(r) for r in requests]
+
+    adapter = FluxSlotAdapter(model, height=32, width=32, max_token_length=8)
+    engine = ContinuousBatcher(adapter, num_slots=2, max_steps=8)
+    try:
+        results = [None] * len(requests)
+
+        def run(i):
+            results[i] = engine.submit(requests[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(requests))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert all(r is not None for r in results)
+    finally:
+        engine.close()
+
+    for got, want, r in zip(results, expected, requests):
+        _images_close(got, want, regen=lambda r=r: gen(r),
+                      solo=lambda r=r: _solo_engine(adapter, r, max_steps=8))

@@ -13,7 +13,14 @@ isolates the two suspects:
               packed-vs-classic axis.
 
 Usage: python tools/bench/lumina2_batch_ab.py [--res 512] [--steps 6]
-           [--cap-len 256] [--no-mask]
+           [--cap-len 256] [--no-mask] [--chain] [--profile DIR]
+           [--batches 1,2,4]
+
+--chain times a chained window with ONE final fetch (amortizes the
+tunnel round trip; separates device compute from dispatch overhead
+when compared against the default per-step-fetch timing).
+--profile writes a 2-step jax.profiler trace per batch to DIR/b{batch}
+(analyze with tools/bench/xplane_stats.py).
 """
 
 from __future__ import annotations
@@ -42,6 +49,9 @@ def main() -> None:
 
     res, steps, cap_len = 512, 6, 256
     no_mask = "--no-mask" in sys.argv
+    chain = "--chain" in sys.argv
+    profile_dir = None
+    batches = (1, 2, 4)
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--res":
@@ -50,6 +60,10 @@ def main() -> None:
             steps = int(argv[i + 1])
         elif a == "--cap-len":
             cap_len = int(argv[i + 1])
+        elif a == "--profile":
+            profile_dir = argv[i + 1]
+        elif a == "--batches":
+            batches = tuple(int(x) for x in argv[i + 1].split(","))
 
     from family_generate import MockHFTokenizer
 
@@ -65,7 +79,7 @@ def main() -> None:
 
     feat_dim = model.denoiser.config.caption_dim
     rows = []
-    for batch in (1, 2, 4):
+    for batch in batches:
         key = jax.random.PRNGKey(batch)
         lat_shape = (
             batch,
@@ -93,19 +107,46 @@ def main() -> None:
                 jnp.float32(4.0), jnp.float32(1.0),
             )
 
+        # warm up with a SCALAR FETCH, not block_until_ready: through the
+        # axon tunnel block_until_ready can early-ack while compile/
+        # execution is still in flight, dumping the ~30 s step compile
+        # into the first timed window (the r4e "batch-1 pathology" —
+        # 600.6 then 3189 ms/step for a step whose true device time is
+        # 92 ms). A device->host transfer of a value that depends on the
+        # output cannot be faked.
         out = run(latents)
-        jax.block_until_ready(out)
-        # chain latents between iterations AND fetch a scalar to host
-        # each call: block_until_ready alone reported 1-2 ms "steps"
-        # through the axon tunnel (early acks); a device->host transfer
-        # of the result cannot be faked
         lat = out[0]
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = run(lat)
-            lat = out[0]
+        float(jnp.sum(lat.astype(jnp.float32)))
+        out = run(lat)
+        lat = out[0]
+        float(jnp.sum(lat.astype(jnp.float32)))
+        if profile_dir:
+            with jax.profiler.trace(os.path.join(profile_dir, f"b{batch}")):
+                for _ in range(2):
+                    out = run(lat)
+                    lat = out[0]
+                float(jnp.sum(lat.astype(jnp.float32)))
+        if chain:
+            # chain all steps through the latents and fetch ONCE: the
+            # final scalar depends on every step, so the device must run
+            # the full chain, and the tunnel's per-dispatch round trip is
+            # amortized over the window instead of paid per step
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                lat = run(lat)[0]
             float(jnp.sum(lat.astype(jnp.float32)))
-        dt = (time.perf_counter() - t0) / steps
+            dt = (time.perf_counter() - t0) / steps
+        else:
+            # chain latents between iterations AND fetch a scalar to host
+            # each call: block_until_ready alone reported 1-2 ms "steps"
+            # through the axon tunnel (early acks); a device->host transfer
+            # of the result cannot be faked
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = run(lat)
+                lat = out[0]
+                float(jnp.sum(lat.astype(jnp.float32)))
+            dt = (time.perf_counter() - t0) / steps
         per_img = dt / batch * 1000
         rows.append({"batch": batch, "ms_per_step": round(dt * 1000, 1),
                      "ms_per_image": round(per_img, 1)})

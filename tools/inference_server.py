@@ -364,7 +364,9 @@ class ContinuousScheduler:
     with mixed step counts / seeds / guidance shares the device without
     waiting for a collation window. Families: sdxl (ancestral, per-slot
     noise seeds, cfg_rescale), lumina2 (flow matching, renorm CFG +
-    per-slot CFG truncation) and auraflow (flow matching, plain CFG). The pool's latent shape is fixed at
+    per-slot CFG truncation), auraflow (flow matching, plain CFG),
+    cogview4 (flow matching + size conditioning) and flux (rectified
+    flow, per-slot distilled guidance). The pool's latent shape is fixed at
     construction (one compiled program); requests for another size are
     rejected upfront — run a second server (or the window scheduler) for
     multi-resolution traffic.
@@ -374,7 +376,9 @@ class ContinuousScheduler:
                  num_slots: int = 4, max_steps: int = 50):
         from vision_ft_tpu.serving import (
             AuraFlowSlotAdapter,
+            CogView4SlotAdapter,
             ContinuousBatcher,
+            FluxSlotAdapter,
             Lumina2SlotAdapter,
             SDXLSlotAdapter,
             SlotRequest,
@@ -384,6 +388,8 @@ class ContinuousScheduler:
             "sdxl": SDXLSlotAdapter,
             "lumina2": Lumina2SlotAdapter,
             "auraflow": AuraFlowSlotAdapter,
+            "cogview4": CogView4SlotAdapter,
+            "flux": FluxSlotAdapter,
         }
         if model._family not in adapters:
             raise ValueError(
@@ -409,7 +415,7 @@ class ContinuousScheduler:
             ("cfg_rescale", 0.0, "SDXL", "sdxl"),
             ("renorm_cfg", 1.0, "Lumina2", "lumina2"),
             ("cfg_trunc_ratio", 0.0, "Lumina2", "lumina2"),
-            ("distilled_guidance", 1.0, "Flux", None),
+            ("distilled_guidance", 1.0, "Flux", "flux"),
         )
         for name, neutral, owner, allowed in family_only:
             if getattr(params, name) != neutral and self._family != allowed:
@@ -425,6 +431,7 @@ class ContinuousScheduler:
                 cfg_rescale=params.cfg_rescale,
                 renorm_cfg=params.renorm_cfg,
                 cfg_trunc_ratio=params.cfg_trunc_ratio,
+                distilled_guidance=params.distilled_guidance,
                 seed=params.seed,
             )
         )

@@ -45,6 +45,26 @@ class Scheduler:
         self.timesteps = sigmas * self.num_train_timesteps
         self.sigmas = np.concatenate([sigmas, [0.0]])
 
+    def schedule_tables(
+        self, num_inference_steps: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pure (timesteps, sigmas) for a step count — same math as
+        :meth:`set_timesteps` without mutating scheduler state, so
+        concurrent consumers (the continuous-batching adapter and a live
+        ``generate()`` on the same model) can never read each other's
+        tables mid-swap."""
+        timesteps = np.linspace(
+            self.sigma_max * self.num_train_timesteps,
+            self.sigma_min * self.num_train_timesteps,
+            num_inference_steps,
+            dtype=np.float64,
+        )
+        sigmas = self._shift(timesteps / self.num_train_timesteps)
+        return (
+            sigmas * self.num_train_timesteps,
+            np.concatenate([sigmas, [0.0]]),
+        )
+
     def retrieve_timesteps(
         self, num_inference_steps: int, device=None, sigmas=None
     ) -> tuple[np.ndarray, int]:

@@ -183,6 +183,56 @@ class CogView4Model:
                     refresh=refresh, cache_depth=cache_depth),
         )
 
+    # -- continuous-batching slot step ---------------------------------------------
+
+    def _slot_step(
+        self,
+        params,
+        latents,        # (S, h, w, c) — one row per serving slot
+        timestep,       # (S,) f32 — per-slot denoise position
+        sigma,          # (S,) f32
+        next_sigma,     # (S,) f32
+        embeddings,     # (2S, L, D) [positives; negatives]
+        original_size,  # (2S, 2)
+        target_size,    # (2S, 2)
+        crop_coords,    # (2S, 2)
+        cfg_scale,      # (S,) f32
+        active,         # (S,) bool — inactive rows keep their latents
+    ):
+        """One flow-matching Euler step over a SLOT POOL — the CogView4
+        jit unit of step-level continuous batching (vision_ft_tpu.serving).
+        Plain CFG like AuraFlow's (reference cogview4 pipeline has neither
+        renorm nor truncation); per-request scalars of
+        :meth:`_denoise_step` become per-slot vectors, and the per-slot
+        timestep vector feeds the denoiser directly (it already accepts a
+        per-sample time embedding). Latent update sign matches
+        :meth:`_denoise_step`: latents + v * (next_sigma - sigma)."""
+        s = latents.shape[0]
+        expand = lambda v: v[:, None, None, None]
+        model_input = jnp.concatenate([latents, latents])
+        t2 = jnp.concatenate([timestep, timestep]).astype(latents.dtype)
+        velocity = self.denoiser(
+            params, model_input, embeddings, t2, original_size, target_size,
+            crop_coords,
+        )
+        positive, negative = velocity[:s], velocity[s:]
+        do_cfg = cfg_scale > 1.0
+        velocity = jnp.where(
+            expand(do_cfg),
+            negative + expand(cfg_scale) * (positive - negative),
+            positive,
+        )
+        new_latents = latents.astype(jnp.float32) + velocity.astype(
+            jnp.float32
+        ) * expand(next_sigma - sigma)
+        new_latents = new_latents.astype(latents.dtype)
+        return jnp.where(expand(active), new_latents, latents)
+
+    def _get_jit_slot_step(self):
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "slot_step", self._slot_step)
+
     # -- generate ------------------------------------------------------------------------------
 
     def generate(

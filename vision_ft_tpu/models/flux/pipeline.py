@@ -158,6 +158,55 @@ class FluxModel:
                     refresh=refresh, cache_depth=cache_depth),
         )
 
+    # -- continuous-batching slot step -------------------------------------------------
+
+    def _slot_step(
+        self,
+        params,
+        latents,      # (S, h, w, c) — one row per serving slot
+        timestep,     # (S,) f32 — per-slot denoise position
+        total_steps,  # (S,) i32 — per-slot step count (delta = 1/total)
+        t5_emb,       # (2S, L, D) [positives; negatives]
+        clip_emb,     # (2S, P)
+        guidance,     # (S,) f32 — per-slot distilled guidance
+        cfg_scale,    # (S,) f32
+        active,       # (S,) bool — inactive rows keep their latents
+    ):
+        """One flow-matching Euler step over a SLOT POOL — the Flux jit
+        unit of step-level continuous batching (vision_ft_tpu.serving).
+        Flux's Euler delta is the CONSTANT 1/num_steps of
+        :meth:`generate` (not a sigma difference), so it derives from the
+        per-slot ``total_steps`` vector; the distilled guidance scalar
+        becomes a per-slot vector fed to the denoiser's guidance
+        embedding. Update sign matches :meth:`_denoise_step`:
+        latents - v * delta."""
+        s = latents.shape[0]
+        expand = lambda v: v[:, None, None, None]
+        model_input = jnp.concatenate([latents, latents])
+        t2 = jnp.concatenate([timestep, timestep]).astype(latents.dtype)
+        g2 = jnp.concatenate([guidance, guidance]).astype(latents.dtype)
+        velocity = self.denoiser(
+            params, model_input, t5_emb, t2, clip_emb, guidance=g2
+        )
+        positive, negative = velocity[:s], velocity[s:]
+        do_cfg = cfg_scale > 1.0
+        velocity = jnp.where(
+            expand(do_cfg),
+            negative + expand(cfg_scale) * (positive - negative),
+            positive,
+        )
+        delta = 1.0 / jnp.maximum(total_steps.astype(jnp.float32), 1.0)
+        new_latents = (
+            latents.astype(jnp.float32)
+            - velocity.astype(jnp.float32) * expand(delta)
+        ).astype(latents.dtype)
+        return jnp.where(expand(active), new_latents, latents)
+
+    def _get_jit_slot_step(self):
+        from ...nn.core import cached_jit
+
+        return cached_jit(self, "slot_step", self._slot_step)
+
     # -- generate ----------------------------------------------------------------------------
 
     def generate(

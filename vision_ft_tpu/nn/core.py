@@ -480,8 +480,14 @@ class Linear(Module):
                 rank = down_w.shape[0]
                 scale = (params["alpha"].astype(jnp.float32) / rank).astype(x.dtype)
                 lead = x.shape[:-1]
+                # the custom VJP trains ONLY down/up (dW and dscale are
+                # symbolic zeros — the frozen-base assumption). Sever w
+                # and scale structurally so a caller differentiating the
+                # base weight through this path gets an explicitly
+                # stopped gradient, not a silently wrong zero.
                 y = _lora_concat_dot(
-                    x.reshape(-1, self.in_features), w, down_w, up_w, scale
+                    x.reshape(-1, self.in_features), lax.stop_gradient(w),
+                    down_w, up_w, lax.stop_gradient(scale)
                 ).reshape(*lead, self.out_features)
                 if "bias" in params:
                     y = y + params["bias"].astype(y.dtype)

@@ -68,8 +68,10 @@ def flash_attention(
                 q, k, v, mask=key_mask, scale=scale, is_causal=is_causal,
                 tag_qkv=tag_qkv,
             )
+        from .pallas.flash_attention import SHORTK_MAX
+
         if (
-            sk <= 192
+            sk <= SHORTK_MAX
             and mask is None
             and not is_causal
             and os.environ.get("VFT_FLASH_SHORTK", "0") == "1"

@@ -1295,9 +1295,16 @@ SHORTK_MAX = 192  # pad-to-128/256 keeps the whole context one lane tile-ish
 
 
 def _shortk_blocks(sq: int) -> int:
+    """Largest halving-of-2048 q block dividing ``sq``, clamped to >=128:
+    sub-128 blocks (sq with a small power-of-two factor, e.g. 4360 -> 8)
+    make sub-8-sublane tiles Mosaic may reject and pathological grids.
+    When nothing >=128 divides (or the divisor isn't sublane-aligned),
+    returns a fixed block and the entry point PADS sq up to a multiple."""
     block_q = min(2048, sq)
-    while sq % block_q:
+    while sq % block_q and block_q > 128:
         block_q //= 2
+    if sq % block_q or block_q % 8:
+        block_q = 512 if sq >= 512 else 128
     return block_q
 
 
@@ -1305,6 +1312,7 @@ def _shortk_fwd_call(q, k, v, scale, sk_actual, interpret):
     b, h, sq, d = q.shape
     sk_pad = k.shape[2]
     block_q = _shortk_blocks(sq)
+    assert sq % block_q == 0, (sq, block_q)  # entry point padded sq
     o, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel_shortk, scale=scale, sk_actual=sk_actual,
@@ -1404,19 +1412,35 @@ def flash_attention_shortk(
 ) -> jax.Array:
     """VMEM-resident attention for short key contexts (sk <= SHORTK_MAX):
     SDXL's 77-token cross attention. No mask / causal support — callers
-    dispatch those to the XLA path."""
+    dispatch those to the XLA path.
+
+    sq with no reasonable dividing block is zero-padded to a multiple of
+    the kernel block (padded q rows attend over real keys; their outputs
+    are sliced off, and in the backward their zero dO rows contribute
+    exact zeros to dk/dv)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    if sk > SHORTK_MAX:
+        raise ValueError(
+            f"flash_attention_shortk: sk={sk} exceeds SHORTK_MAX="
+            f"{SHORTK_MAX}; use flash_attention_tpu"
+        )
     if scale is None:
         scale = d**-0.5
     sk_pad = _round_up(sk, 128)
     dp = d if d % 8 == 0 else _round_up(d, 128)
+    block_q = _shortk_blocks(sq)
+    sq_pad = _round_up(sq, block_q)
 
     def pad_kv(x):
         return jnp.pad(
             x, ((0, 0), (0, 0), (0, sk_pad - sk), (0, dp - d))
         )
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dp - d))) if dp != d else q
+    qp = (
+        jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, dp - d)))
+        if (dp != d or sq_pad != sq)
+        else q
+    )
     o = _shortk_core(qp, pad_kv(k), pad_kv(v), scale, sk, interpret)
-    return o[:, :, :, :d] if dp != d else o
+    return o[:, :, :sq, :d] if (dp != d or sq_pad != sq) else o

@@ -103,7 +103,13 @@ def supports(m: int, k: int, n: int, blocksize: int) -> bool:
 
 
 def _pick_blocks(m: int, k: int, n: int) -> tuple[int, int, int]:
-    """(BM, BN, BKh): BKh in packed columns (one column = 2 K elements)."""
+    """(BM, BN, BKh): BKh in packed columns (one column = 2 K elements).
+
+    VFT_NF4_BM / VFT_NF4_BN / VFT_NF4_BKH override for geometry sweeps
+    (tools/bench/nf4_kernel_bench.py); invalid overrides (non-dividing)
+    fall back to the default pick for that dimension."""
+    import os
+
     kh = k // 2
     bkh = 512
     while kh % bkh != 0:
@@ -112,6 +118,15 @@ def _pick_blocks(m: int, k: int, n: int) -> tuple[int, int, int]:
     bm = 2048
     while bm > m and bm > 16:
         bm //= 2
+    env_bm = int(os.environ.get("VFT_NF4_BM", 0))
+    env_bn = int(os.environ.get("VFT_NF4_BN", 0))
+    env_bkh = int(os.environ.get("VFT_NF4_BKH", 0))
+    if env_bm > 0:
+        bm = env_bm
+    if env_bn > 0 and n % env_bn == 0:
+        bn = env_bn
+    if env_bkh > 0 and kh % env_bkh == 0:
+        bkh = env_bkh
     return bm, bn, bkh
 
 

@@ -7,7 +7,9 @@ time HTTP server (/root/reference/tools/inference_server.py:19-136).
 
 from .continuous import (
     AuraFlowSlotAdapter,
+    CogView4SlotAdapter,
     ContinuousBatcher,
+    FluxSlotAdapter,
     Lumina2SlotAdapter,
     SDXLSlotAdapter,
     SlotRequest,
@@ -15,7 +17,9 @@ from .continuous import (
 
 __all__ = [
     "AuraFlowSlotAdapter",
+    "CogView4SlotAdapter",
     "ContinuousBatcher",
+    "FluxSlotAdapter",
     "Lumina2SlotAdapter",
     "SDXLSlotAdapter",
     "SlotRequest",

@@ -44,8 +44,13 @@ Adapter protocol (duck-typed):
   scalar_fields()                -> {name: (default, np dtype)} per-slot tables
   request_scalars(req)           -> {name: value} for an admitted request
   init_latents(req, seed, sigmas)-> one latent row
-  slot_step(latents, ctx, t, sigma, next_sigma, idx, total, scalars,
-            active)              -> new latents (ONE jitted device step)
+  step_params()                  -> pytree of model weights the slot step
+                                    reads (threaded through the jitted tick
+                                    as an ARGUMENT — never closed over, so
+                                    jit can't bake gigabytes of weights into
+                                    the compiled tick as constants)
+  slot_step(params, latents, ctx, t, sigma, next_sigma, idx, total,
+            scalars, active)     -> new latents (ONE jitted device step)
   decode(latent_row)             -> image
 
 Per-slot noise (SDXL) follows the exact ``PRNGKey(seed)`` /
@@ -86,6 +91,7 @@ class SlotRequest:
     cfg_rescale: float = 0.0
     renorm_cfg: float = 1.0
     cfg_trunc_ratio: float = 0.0
+    distilled_guidance: float = 1.0
     seed: Optional[int] = None
 
 
@@ -201,11 +207,14 @@ class SDXLSlotAdapter:
         )[0]
         return noise * self.model.scheduler.get_max_noise_sigma(sigmas)
 
-    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
-                  scalars, active):
+    def step_params(self):
+        return self.model.params["denoiser"]
+
+    def slot_step(self, params, latents, ctx, t, sigma, next_sigma, idx,
+                  total, scalars, active):
         step = self.model._get_jit_slot_step()
         return step(
-            self.model.params["denoiser"], latents, t, sigma, next_sigma,
+            params, latents, t, sigma, next_sigma,
             ctx["emb"], ctx["pooled"], ctx["original_size"],
             ctx["target_size"], ctx["crop_coords"],
             scalars["cfg_scale"], scalars["cfg_rescale"],
@@ -314,11 +323,14 @@ class Lumina2SlotAdapter:
             (1,) + self.latent_shape, seed, dtype=self.dtype
         )[0]
 
-    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
-                  scalars, active):
+    def step_params(self):
+        return self.model.params["denoiser"]
+
+    def slot_step(self, params, latents, ctx, t, sigma, next_sigma, idx,
+                  total, scalars, active):
         step = self.model._get_jit_slot_step()
         return step(
-            self.model.params["denoiser"], latents, t, sigma, next_sigma,
+            params, latents, t, sigma, next_sigma,
             ctx["features"], ctx["mask"],
             scalars["cfg_scale"], scalars["renorm_cfg"],
             scalars["cfg_trunc_ratio"], idx, total, active,
@@ -360,10 +372,12 @@ class AuraFlowSlotAdapter:
         self.dtype = model.dtype
 
     def schedule(self, request: SlotRequest):
-        timesteps, _ = self.model.scheduler.retrieve_timesteps(
+        # pure accessor — never touches the scheduler's mutable
+        # timesteps/sigmas attributes, which a concurrent generate() on
+        # the same model rewrites via retrieve_timesteps
+        timesteps, sigmas = self.model.scheduler.schedule_tables(
             request.num_inference_steps
         )
-        sigmas = self.model.scheduler.sigmas
         return np.asarray(timesteps, np.float32), np.asarray(sigmas, np.float32)
 
     def scalar_fields(self):
@@ -405,12 +419,223 @@ class AuraFlowSlotAdapter:
             (1,) + self.latent_shape, seed, dtype=self.dtype
         )[0]
 
-    def slot_step(self, latents, ctx, t, sigma, next_sigma, idx, total,
-                  scalars, active):
+    def step_params(self):
+        return self.model.params["denoiser"]
+
+    def slot_step(self, params, latents, ctx, t, sigma, next_sigma, idx,
+                  total, scalars, active):
         step = self.model._get_jit_slot_step()
         return step(
-            self.model.params["denoiser"], latents, t, sigma, next_sigma,
+            params, latents, t, sigma, next_sigma,
             ctx["emb"], scalars["cfg_scale"], active,
+        )
+
+    def decode(self, latent_row: jax.Array):
+        return self.model.decode_image(latent_row[None])[0]
+
+
+class CogView4SlotAdapter:
+    """Family adapter binding the engine to a CogView4 (DiT) pipeline.
+
+    Flow matching with plain CFG plus SDXL-style size conditioning
+    (original/target/crop rows ride the context pytree). Schedule comes
+    from the pipeline's pure ``prepare_timesteps`` (linear-time-shifted
+    by the pool's fixed image size)."""
+
+    def __init__(self, model, height: int, width: int,
+                 max_token_length: Optional[int] = None):
+        from ..models.cogview4.text_encoder import DEFAULT_MAX_TOKEN_LENGTH
+
+        self.model = model
+        self.height = height
+        self.width = width
+        self.max_token_length = max_token_length or DEFAULT_MAX_TOKEN_LENGTH
+        ratio = int(model.vae.compression_ratio)
+        self.latent_shape = (
+            height // ratio, width // ratio, model.denoiser.config.in_channels,
+        )
+        enc = jax.eval_shape(
+            lambda: model.text_encoder.encode_prompts(
+                model.params["text_encoder"], ["x"], ["y"],
+                use_negative_prompts=True,
+                max_token_length=self.max_token_length,
+            )
+        )
+        self.emb_shape = enc.positive_embeddings.shape[1:]
+        self.dtype = model.dtype
+
+    def schedule(self, request: SlotRequest):
+        timesteps, sigmas = self.model.prepare_timesteps(
+            request.num_inference_steps, self.height, self.width
+        )
+        return np.asarray(timesteps, np.float32), np.asarray(sigmas, np.float32)
+
+    def scalar_fields(self):
+        return {"cfg_scale": (1.0, np.float32)}
+
+    def request_scalars(self, request: SlotRequest):
+        return {"cfg_scale": request.cfg_scale}
+
+    def encode(self, requests: list[SlotRequest]):
+        out = self.model.text_encoder.encode_prompts(
+            self.model.params["text_encoder"],
+            [r.prompt for r in requests],
+            [r.negative_prompt or "" for r in requests],
+            use_negative_prompts=True,
+            max_token_length=self.max_token_length,
+        )
+        pos = out.positive_embeddings.astype(self.dtype)
+        neg = out.negative_embeddings.astype(self.dtype)
+        return [(pos[i], neg[i]) for i in range(len(requests))]
+
+    def blank_context(self, num_slots: int):
+        s = num_slots
+        size = jnp.broadcast_to(
+            jnp.asarray([self.height, self.width], jnp.float32), (2 * s, 2)
+        )
+        return {
+            "emb": jnp.zeros((2 * s,) + tuple(self.emb_shape), self.dtype),
+            "original_size": size,
+            "target_size": size,
+            "crop_coords": jnp.zeros((2 * s, 2), jnp.float32),
+        }
+
+    def write_slot(self, ctx, j: int, row):
+        e_pos, e_neg = row
+        s = ctx["emb"].shape[0] // 2
+        return {**ctx, "emb": ctx["emb"].at[j].set(e_pos).at[s + j].set(e_neg)}
+
+    def init_latents(self, request: SlotRequest, seed: int,
+                     sigmas: np.ndarray) -> jax.Array:
+        """Same stream as batch-1 prepare_latents row 0 (pure noise —
+        flow matching starts at sigma=1)."""
+        from ..utils import tensor as tensor_utils
+
+        return tensor_utils.incremental_seed_randn(
+            (1,) + self.latent_shape, seed, dtype=self.dtype
+        )[0]
+
+    def step_params(self):
+        return self.model.params["denoiser"]
+
+    def slot_step(self, params, latents, ctx, t, sigma, next_sigma, idx,
+                  total, scalars, active):
+        step = self.model._get_jit_slot_step()
+        return step(
+            params, latents, t, sigma, next_sigma,
+            ctx["emb"], ctx["original_size"], ctx["target_size"],
+            ctx["crop_coords"], scalars["cfg_scale"], active,
+        )
+
+    def decode(self, latent_row: jax.Array):
+        return self.model.decode_image(latent_row[None])[0]
+
+
+class FluxSlotAdapter:
+    """Family adapter binding the engine to a Flux (12B rectified-flow)
+    pipeline.
+
+    Flux's Euler delta is 1/num_steps — a per-slot constant derived from
+    the engine's ``total`` vector, not a sigma difference — and its
+    distilled guidance scalar rides the per-slot tables into the
+    denoiser's guidance embedding. Context is the dual encoder pair
+    (T5 sequence + CLIP pooled)."""
+
+    def __init__(self, model, height: int, width: int,
+                 max_token_length: Optional[int] = None):
+        from ..models.flux.text_encoder import DEFAULT_T5_MAX_TOKEN_LENGTH
+
+        self.model = model
+        self.height = height
+        self.width = width
+        self.max_token_length = max_token_length or DEFAULT_T5_MAX_TOKEN_LENGTH
+        ratio = int(model.vae.compression_ratio)
+        self.latent_shape = (
+            height // ratio, width // ratio, model.vae.config.latent_channels,
+        )
+        enc = jax.eval_shape(
+            lambda: model.text_encoder.encode_prompts(
+                model.params["text_encoder"], ["x"], ["y"],
+                use_negative_prompts=True,
+                t5_max_token_length=self.max_token_length,
+            )
+        )
+        self.t5_shape = enc.t5.positive_embeddings.shape[1:]
+        self.clip_shape = enc.clip.positive_embeddings.shape[1:]
+        self.dtype = model.dtype
+
+    def schedule(self, request: SlotRequest):
+        from ..modules.timestep.scheduler import get_linear_schedule
+
+        timesteps = get_linear_schedule(request.num_inference_steps)
+        # the slot step derives its delta from the total vector; the
+        # sigma table is bookkeeping only (engine requires n+1 rows)
+        sigmas = np.concatenate([timesteps, [0.0]]).astype(np.float32)
+        return np.asarray(timesteps, np.float32), sigmas
+
+    def scalar_fields(self):
+        return {
+            "cfg_scale": (1.0, np.float32),
+            "distilled_guidance": (1.0, np.float32),
+        }
+
+    def request_scalars(self, request: SlotRequest):
+        return {
+            "cfg_scale": request.cfg_scale,
+            "distilled_guidance": request.distilled_guidance,
+        }
+
+    def encode(self, requests: list[SlotRequest]):
+        out = self.model.text_encoder.encode_prompts(
+            self.model.params["text_encoder"],
+            [r.prompt for r in requests],
+            [r.negative_prompt or "" for r in requests],
+            use_negative_prompts=True,
+            t5_max_token_length=self.max_token_length,
+        )
+        t5_pos = out.t5.positive_embeddings.astype(self.dtype)
+        t5_neg = out.t5.negative_embeddings.astype(self.dtype)
+        clip_pos = out.clip.positive_embeddings.astype(self.dtype)
+        clip_neg = out.clip.negative_embeddings.astype(self.dtype)
+        return [
+            (t5_pos[i], t5_neg[i], clip_pos[i], clip_neg[i])
+            for i in range(len(requests))
+        ]
+
+    def blank_context(self, num_slots: int):
+        s = num_slots
+        return {
+            "t5": jnp.zeros((2 * s,) + tuple(self.t5_shape), self.dtype),
+            "clip": jnp.zeros((2 * s,) + tuple(self.clip_shape), self.dtype),
+        }
+
+    def write_slot(self, ctx, j: int, row):
+        t5_pos, t5_neg, clip_pos, clip_neg = row
+        s = ctx["t5"].shape[0] // 2
+        return {
+            "t5": ctx["t5"].at[j].set(t5_pos).at[s + j].set(t5_neg),
+            "clip": ctx["clip"].at[j].set(clip_pos).at[s + j].set(clip_neg),
+        }
+
+    def init_latents(self, request: SlotRequest, seed: int,
+                     sigmas: np.ndarray) -> jax.Array:
+        """Same stream as batch-1 prepare_latents row 0 (pure noise —
+        rectified flow starts at t=1)."""
+        from ..utils import tensor as tensor_utils
+
+        return tensor_utils.incremental_seed_randn(
+            (1,) + self.latent_shape, seed, dtype=self.dtype
+        )[0]
+
+    def step_params(self):
+        return self.model.params["denoiser"]
+
+    def slot_step(self, params, latents, ctx, t, sigma, next_sigma, idx,
+                  total, scalars, active):
+        step = self.model._get_jit_slot_step()
+        return step(
+            params, latents, t, total, ctx["t5"], ctx["clip"],
+            scalars["distilled_guidance"], scalars["cfg_scale"], active,
         )
 
     def decode(self, latent_row: jax.Array):
@@ -461,19 +686,31 @@ class ContinuousBatcher:
             for name, (default, dtype) in adapter.scalar_fields().items()
         }
 
-        def _pool_tick(latents, ctx, t_tab, sig_tab, idx, total, scalars,
-                       active):
+        # Model weights are an ARGUMENT of the jitted tick, never a
+        # closure: tracing through adapter.slot_step with the params
+        # closed over bakes the full weight tree into the compiled
+        # program as constants (measured r4: 5.13 GB of captured
+        # constants for SDXL, duplicating the resident weights and
+        # stalling compilation). step_params() returns the live pytree
+        # by reference — no copy — and jit donates nothing, so the
+        # only per-tick cost is pytree flattening.
+        step_params = getattr(adapter, "step_params", None)
+        self._params = step_params() if step_params is not None else None
+
+        def _pool_tick(params, latents, ctx, t_tab, sig_tab, idx, total,
+                       scalars, active):
             rows = jnp.arange(s)
             cidx = jnp.clip(idx, 0, jnp.maximum(total, 1) - 1)
             t = t_tab[rows, cidx]
             sigma = sig_tab[rows, cidx]
             next_sigma = sig_tab[rows, cidx + 1]
-            new_lat = adapter.slot_step(
-                latents, ctx, t, sigma, next_sigma, cidx,
+            new_lat = self._adapter_step(
+                params, latents, ctx, t, sigma, next_sigma, cidx,
                 jnp.maximum(total, 1), scalars, active,
             )
             return new_lat, jnp.where(active, idx + 1, idx)
 
+        self._pool_tick_fn = _pool_tick  # un-jitted handle (tests)
         # adapters that RECORD their per-tick inputs (the scheduler-logic
         # test oracle) opt out of jit so values stay concrete
         self._pool_tick = (
@@ -487,6 +724,21 @@ class ContinuousBatcher:
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _adapter_step(self, params, latents, ctx, t, sigma, next_sigma,
+                      idx, total, scalars, active):
+        """Dispatch to the adapter's slot step, tolerating legacy
+        adapters whose ``slot_step`` predates the ``params`` argument
+        (they close over their own weights; fine for model-free test
+        adapters, a 5 GB constant-capture bug for real models)."""
+        if getattr(self.adapter, "step_params", None) is not None:
+            return self.adapter.slot_step(
+                params, latents, ctx, t, sigma, next_sigma, idx, total,
+                scalars, active,
+            )
+        return self.adapter.slot_step(
+            latents, ctx, t, sigma, next_sigma, idx, total, scalars, active,
+        )
 
     # -- public API ----------------------------------------------------------------
 
@@ -578,7 +830,7 @@ class ContinuousBatcher:
         ticks we block on the device index vector so the dispatch queue
         cannot run unboundedly ahead of execution."""
         self._latents, self._d_idx = self._pool_tick(
-            self._latents, self._ctx, self._d_t, self._d_sig,
+            self._params, self._latents, self._ctx, self._d_t, self._d_sig,
             self._d_idx, self._d_total, self._d_scalars, self._d_active,
         )
         self._ticks = getattr(self, "_ticks", 0) + 1
