@@ -97,11 +97,21 @@ def main() -> None:
                 )
                 return x @ wq.T
 
+            def stream_fwd(x):
+                from vision_ft_tpu.ops.nf4_stream import nf4_stream_matmul
+
+                return nf4_stream_matmul(
+                    x, d_packed, d_code, d_absmax, (n, k)
+                )
+
             def bench(fn, tag):
                 f = jax.jit(fn)
-                out = f(x)
-                jax.block_until_ready(out)
-                # chain a scalar out each call (tunnel early-ack guard)
+                # warm with SCALAR FETCHES: through the axon tunnel
+                # block_until_ready can early-ack while the compile is
+                # still in flight, dumping it into the timed window
+                for _ in range(2):
+                    out = f(x)
+                    float(jnp.sum(out[:1, :1].astype(jnp.float32)))
                 iters = 20
                 t0 = time.perf_counter()
                 for _ in range(iters):
@@ -121,8 +131,9 @@ def main() -> None:
                 if fwd_only:
                     return None
                 g = jax.jit(jax.grad(lambda x: jnp.sum(fn(x).astype(jnp.float32))))
-                out = g(x)
-                jax.block_until_ready(out)
+                for _ in range(2):
+                    out = g(x)
+                    float(jnp.sum(out[:1, :1].astype(jnp.float32)))
                 iters = 10
                 t0 = time.perf_counter()
                 for _ in range(iters):
@@ -132,8 +143,10 @@ def main() -> None:
 
             fused_ms = bench(fused_fwd, "fused")
             xla_ms = bench(xla_fwd, "xla")
+            stream_ms = bench(stream_fwd, "stream")
             fused_g = bench_grad(fused_fwd, "fused")
             xla_g = bench_grad(xla_fwd, "xla")
+            stream_g = bench_grad(stream_fwd, "stream")
             # matmul-bound floor: 2*m*n*k bf16 FLOPs at the measured
             # 190 TF/s practical ceiling (device_microbench)
             floor_ms = 2 * m * n * k / 190e12 * 1e3
@@ -141,12 +154,14 @@ def main() -> None:
                 "shape": f"{name} m{m} n{n} k{k}",
                 "fused_fwd_ms": round(fused_ms, 3),
                 "xla_fwd_ms": round(xla_ms, 3),
+                "stream_fwd_ms": round(stream_ms, 3),
                 "fwd_ratio": round(fused_ms / xla_ms, 3),
                 "matmul_floor_ms": round(floor_ms, 3),
             }
             if fused_g is not None:
                 row["fused_fwdbwd_ms"] = round(fused_g, 3)
                 row["xla_fwdbwd_ms"] = round(xla_g, 3)
+                row["stream_fwdbwd_ms"] = round(stream_g, 3)
             rows.append(row)
             print(f"[nf4] {row}", file=sys.stderr, flush=True)
 

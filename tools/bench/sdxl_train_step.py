@@ -141,14 +141,29 @@ def main() -> None:
             for _ in range(2):
                 state, m = step(state, frozen, batch_dict, key)
             jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, frozen, batch_dict, key)
-        # block EVERY iteration: one r4c run on the axon backend reported
-        # 21.7 ms/step (impossible) with only the final block — the
-        # tunnel appears to ack in-flight chains early in some states
-        jax.block_until_ready(m)
-    el = (time.perf_counter() - t0) / iters
+    if "--chain" in argv:
+        # device-true timing: dispatch the whole window, then fetch ONE
+        # scalar that depends on every step through the state chain (a
+        # host transfer cannot be early-acked, unlike block_until_ready
+        # — see docs/PERFORMANCE.md "batch-1 pathology"). The per-step
+        # blocking mode below additionally pays one tunnel round trip
+        # per iteration (~35 ms measured), which is bench overhead, not
+        # device time.
+        float(jnp.asarray(m["train/loss"]))  # drain warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, frozen, batch_dict, key)
+        float(jnp.asarray(m["train/loss"]))
+        el = (time.perf_counter() - t0) / iters
+    else:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, frozen, batch_dict, key)
+            # block EVERY iteration: one r4c run on the axon backend reported
+            # 21.7 ms/step (impossible) with only the final block — the
+            # tunnel appears to ack in-flight chains early in some states
+            jax.block_until_ready(m)
+        el = (time.perf_counter() - t0) / iters
 
     import json
 

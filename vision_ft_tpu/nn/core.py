@@ -431,6 +431,32 @@ class Linear(Module):
             if (
                 isinstance(w, dict)
                 and "packed" in w
+                and "split" in w
+                and os.environ.get("VFT_NF4_STREAM", "0") == "1"
+            ):
+                # panel-streamed XLA dequant (ops/nf4_stream): dequant
+                # each weight element ONCE (the fused kernel re-dequants
+                # per M block) while only one (bn, k) bf16 panel is ever
+                # live — A/B lever against the fused default
+                from ..modules.quant.nf4 import infer_blocksize
+                from ..ops import nf4_stream
+
+                n, k = self.out_features, self.in_features
+                blocksize = infer_blocksize(n * k, w["absmax"].shape[0])
+                if nf4_stream.supports(n, k, blocksize):
+                    y = nf4_stream.nf4_stream_matmul(
+                        x, w["packed"], w["code"], w["absmax"], (n, k),
+                        blocksize,
+                    )
+                    if "bias" in params:
+                        y = y + params["bias"].astype(y.dtype)
+                    delta = _linear_adapter_delta(params, x)
+                    if delta is not None:
+                        y = y + delta
+                    return y
+            if (
+                isinstance(w, dict)
+                and "packed" in w
                 and jax.default_backend() == "tpu"
                 and os.environ.get("VFT_NF4_FUSED", "1") != "0"
             ):
