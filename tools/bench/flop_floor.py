@@ -249,17 +249,39 @@ def main() -> None:
         if name not in BUILDERS:
             sys.exit(f"unknown config {name} ({'|'.join(BUILDERS)})")
         b = 1 if name == "lumina2_gen" else batch
-        lowered = BUILDERS[name](b, res)
+        from vision_ft_tpu.ops.flop_count import count_attention_flops
+
+        with count_attention_flops() as attn:
+            lowered = BUILDERS[name](b, res)
         cost = lowered.cost_analysis()
         flops = float(cost.get("flops", 0.0))
         byts = float(cost.get("bytes accessed", 0.0))
         flop_ms = flops / (MATMUL_TFS * 1e12) * 1e3
+        # Attention correction (r5): cost_analysis counts the CPU-trace
+        # XLA fallback attention (einsum dots at the generic roofline,
+        # full-recompute remat structure) while the chip actually runs
+        # the Pallas kernels (invisible to cost_analysis) at their OWN
+        # d-lane-scaled ceiling with (out,lse) saved — no refwd, and a
+        # 5-dot fused backward (2.5x fwd). Subtract the former, add the
+        # latter.
+        is_train = not name.endswith("_gen")
+        xla_counted_ms = (
+            attn["fwd_flops"] * (4.0 if is_train else 1.0)
+            / (MATMUL_TFS * 1e12) * 1e3
+        )
+        kernel_ms = attn["fwd_seconds"] * (3.5 if is_train else 1.0) * 1e3
+        corrected_ms = flop_ms - xla_counted_ms + kernel_ms
         print(
             json.dumps(
                 {
                     "metric": f"{name}_flop_floor_{res}px_b{b}",
-                    "value": round(flop_ms, 1),
-                    "unit": "ms_at_190TFs",
+                    "value": round(corrected_ms, 1),
+                    "unit": "ms_corrected_floor",
+                    "dot_only_ms_at_190TFs": round(flop_ms, 1),
+                    "attn_fwd_tflops": round(attn["fwd_flops"] / 1e12, 2),
+                    "attn_kernel_ms": round(kernel_ms, 1),
+                    "attn_xla_counted_ms": round(xla_counted_ms, 1),
+                    "attn_calls": attn["calls"],
                     "tflops_per_step": round(flops / 1e12, 2),
                     "unfused_bytes_gb": round(byts / 1e9, 1),
                     "unfused_hbm_ms": round(byts / (HBM_GBS * 1e9) * 1e3, 1),

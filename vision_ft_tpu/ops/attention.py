@@ -91,6 +91,15 @@ def scaled_dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if backend in _FLASH_BACKENDS and k.shape[2] >= 256:
+        # flop accounting mirrors the TPU dispatch rule: short key
+        # contexts (sk < 256) run on the XLA path on-chip too, so their
+        # flops belong to cost_analysis, not the kernel correction
+        from .flop_count import add_attention_dispatch
+
+        add_attention_dispatch(
+            q.shape[0], q.shape[1], q.shape[2], k.shape[2], q.shape[3]
+        )
     if backend in _FLASH_BACKENDS:
         from .flash_attention import flash_attention
 
@@ -141,6 +150,9 @@ def attention_heads_packed(
         from .pallas.flash_attention import bshd_group, flash_attention_bshd
 
         if bshd_group(num_heads, d) > 0:
+            from .flop_count import add_attention_dispatch
+
+            add_attention_dispatch(b, num_heads, s, sk, d)
             return flash_attention_bshd(
                 q, k, v, num_heads, scale=scale, is_causal=is_causal
             )

@@ -33,12 +33,20 @@ import numpy as np
 from jax import lax
 
 # target panel footprint: bn*k*2 bytes ~< 8 MB keeps the live temp small
-# while panels stay wide enough for full MXU tiles
+# while panels stay wide enough for full MXU tiles. VFT_NF4_PANEL_MB
+# overrides for A/B sweeps (larger panels = fewer scan iterations,
+# closer to the one-shot XLA dequant in both speed and peak memory).
 _PANEL_BYTES = 8 * 1024 * 1024
 
 
 def pick_panel(n: int, k: int) -> int:
-    bn = max(128, min(n, _PANEL_BYTES // max(1, 2 * k) // 128 * 128))
+    import os
+
+    panel_bytes = _PANEL_BYTES
+    env = os.environ.get("VFT_NF4_PANEL_MB")
+    if env:
+        panel_bytes = int(float(env) * 1024 * 1024)
+    bn = max(128, min(n, panel_bytes // max(1, 2 * k) // 128 * 128))
     while n % bn:
         bn -= 128
     return max(bn, 128) if n % 128 == 0 else n
