@@ -49,7 +49,7 @@ def _reference(x, packed_split, code, absmax, shape):
     [
         (64, 256, 128),      # single panel (bn == n)
         (100, 512, 256),     # ragged m
-        (32, 8192, 1024),    # multi-panel: 8 MB target -> bn < n
+        (32, 8192, 8192),    # multi-panel: 32 MB target -> bn < n
     ],
 )
 def test_stream_forward_matches_xla_dequant(m, k, n):
@@ -68,7 +68,7 @@ def test_stream_forward_matches_xla_dequant(m, k, n):
 
 
 def test_stream_multi_panel_geometry():
-    n, k = 1024, 8192
+    n, k = 8192, 8192
     bn = pick_panel(n, k)
     assert bn < n and n % bn == 0 and bn % 128 == 0
 
@@ -76,7 +76,7 @@ def test_stream_multi_panel_geometry():
 def test_stream_backward_dx_matches_xla():
     """dx through the streamed custom VJP (CPU panel-scan branch) matches
     the XLA dequant path; packed/absmax/code get zero cotangents."""
-    m, k, n = 24, 8192, 1024
+    m, k, n = 24, 8192, 8192
     packed, code, absmax = _quantized_split(n, k)
     x = jax.random.normal(jax.random.key(3), (m, k), jnp.bfloat16)
 

@@ -345,3 +345,40 @@ def test_continuous_scheduler_validation():
         lum.submit(
             GenerationParams(prompt="x", width=64, height=64, cfg_rescale=0.5)
         )
+
+
+def test_continuous_scheduler_serves_all_five_t2i_families():
+    """r5: cogview4/flux joined the slot-pool scheduler — construction
+    accepts them (adapter map) and a flux pool passes its own
+    distilled_guidance through to the engine request."""
+    from tools.inference_server import ContinuousScheduler
+    from vision_ft_tpu.serving import SlotRequest
+
+    flux = ContinuousScheduler.__new__(ContinuousScheduler)
+    flux.height, flux.width = 64, 64
+    flux._family = "flux"
+    flux._SlotRequest = SlotRequest
+    seen = {}
+
+    class _Engine:
+        def submit(self, req):
+            seen["req"] = req
+            return "img"
+
+    flux._engine = _Engine()
+    out = flux.submit(
+        GenerationParams(
+            prompt="x", width=64, height=64, distilled_guidance=3.5,
+            cfg_scale=1.0,
+        )
+    )
+    assert out == "img"
+    assert seen["req"].distilled_guidance == 3.5
+
+    # cogview4 is in the adapter map (construction reaches the adapter,
+    # which needs a real model — the map lookup itself must not raise)
+    import tools.inference_server as srv
+
+    src = open(srv.__file__).read()
+    for fam in ("sdxl", "lumina2", "auraflow", "cogview4", "flux"):
+        assert f'"{fam}":' in src.split("adapters = {")[1].split("}")[0], fam

@@ -279,9 +279,10 @@ def main():
         argv = argv[:i] + argv[i + 2:]
     families = argv or ["lumina2", "auraflow", "cogview4"]
     if deep_cache and any(
-            f.split("_")[0] not in ("sdxl", "lumina2", "auraflow", "cogview4")
+            f.split("_")[0] not in ("sdxl", "lumina2", "auraflow",
+                                    "cogview4", "flux")
             for f in families):
-        sys.exit("--deep-cache applies to sdxl/lumina2/auraflow/cogview4")
+        sys.exit("--deep-cache applies to sdxl/lumina2/auraflow/cogview4/flux")
     for name in families:
         try:
             bench(name, deep_cache=deep_cache, batch=batch, res=res)

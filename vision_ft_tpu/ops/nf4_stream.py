@@ -32,11 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-# target panel footprint: bn*k*2 bytes ~< 8 MB keeps the live temp small
-# while panels stay wide enough for full MXU tiles. VFT_NF4_PANEL_MB
-# overrides for A/B sweeps (larger panels = fewer scan iterations,
-# closer to the one-shot XLA dequant in both speed and peak memory).
-_PANEL_BYTES = 8 * 1024 * 1024
+# target panel footprint. 32 MB measured decisively better than 8 MB
+# (AuraFlow NF4 generate 17.00 vs 21.06 s — small panels starve the
+# per-panel dot and multiply scan steps); still structurally bounded
+# (the scan serializes panel lifetimes, unlike the unbounded XLA
+# dequant whose scheduler keeps many full-weight temps live at once).
+# VFT_NF4_PANEL_MB overrides for sweeps.
+_PANEL_BYTES = 32 * 1024 * 1024
 
 
 def pick_panel(n: int, k: int) -> int:
